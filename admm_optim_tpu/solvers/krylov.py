@@ -1,0 +1,165 @@
+"""Preconditioned Krylov solvers (CG, BiCGStab) as jittable while-loops.
+
+TPU-native replacements for UG4's ``CG``/``BiCGStab`` + ``ConvCheck``
+(reference obstacle_optim_util.lua:9-44, 2d_admm.lua:680-682).  ConvCheck
+semantics are preserved: stop when ||r|| <= abs_tol or ||r||/||r0|| <= rel_tol
+or after max_iters; solvers return the iterate, iteration count, the final
+residual norm and a convergence flag (the reference checks ``apply() ==
+false`` and retries the optimization step; we carry the same flag through
+the jitted control flow).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iters: jnp.ndarray
+    res_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def _norm(x):
+    return jnp.sqrt(jnp.vdot(x, x).real)
+
+
+def cg(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    M: Callable | None = None,
+    max_iters: int = 2000,
+    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+) -> SolveResult:
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+    r0 = b - A(x0)
+    z0 = M(r0)
+    nrm0 = _norm(r0)
+    tol = jnp.maximum(abs_tol, rel_tol * nrm0)
+
+    def cond(state):
+        x, r, z, p, rz, it, nrm = state
+        return (nrm > tol) & (it < max_iters)
+
+    def body(state):
+        x, r, z, p, rz, it, nrm = state
+        Ap = A(p)
+        denom = jnp.vdot(p, Ap)
+        alpha = rz / jnp.where(denom == 0, 1.0, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+        p = z + beta * p
+        return (x, r, z, p, rz_new, it + 1, _norm(r))
+
+    init = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0, jnp.int32), nrm0)
+    x, r, z, p, rz, it, nrm = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x, it, nrm, nrm <= tol)
+
+
+def bicgstab(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    M: Callable | None = None,
+    max_iters: int = 2000,
+    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+) -> SolveResult:
+    """Right-preconditioned BiCGStab, mirroring the reference's
+    bicgstab+gmg linear solver preset (obstacle_optim_util.lua:9-44)."""
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+    r0 = b - A(x0)
+    nrm0 = _norm(r0)
+    tol = jnp.maximum(abs_tol, rel_tol * nrm0)
+    rhat = r0
+
+    def cond(state):
+        x, r, p, v, rho, alpha, omega, it, nrm, ok = state
+        return (nrm > tol) & (it < max_iters) & ok
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, it, nrm, ok = state
+        rho_new = jnp.vdot(rhat, r)
+        beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = A(phat)
+        denom = jnp.vdot(rhat, v)
+        alpha = rho_new / _safe(denom)
+        s = r - alpha * v
+        shat = M(s)
+        t = A(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.vdot(t, s) / _safe(tt)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        bad = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(denom) < 1e-300)
+        return (x, r, p, v, rho_new, alpha, omega, it + 1, _norm(r), ~bad)
+
+    one = jnp.ones((), b.dtype)
+    init = (
+        x0,
+        r0,
+        jnp.zeros_like(b),
+        jnp.zeros_like(b),
+        one,
+        one,
+        one,
+        jnp.array(0, jnp.int32),
+        nrm0,
+        jnp.array(True),
+    )
+    x, r, p, v, rho, alpha, omega, it, nrm, ok = jax.lax.while_loop(cond, body, init)
+    return SolveResult(x, it, nrm, nrm <= tol)
+
+
+def _safe(x):
+    return jnp.where(jnp.abs(x) < 1e-300, jnp.where(x < 0, -1e-300, 1e-300), x)
+
+
+def gmres(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    M: Callable | None = None,
+    restart: int = 40,
+    max_iters: int = 400,
+    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+) -> SolveResult:
+    """Thin wrapper over jax.scipy GMRES (used for the nonsymmetric NS
+    Jacobian; the reference uses BiCGStab there, obstacle_optim_util.lua:49).
+    """
+    import jax.scipy.sparse.linalg as jsl
+
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    nrm0 = _norm(b - A(x0))
+    tol_eff = jnp.maximum(abs_tol, rel_tol * nrm0) / jnp.maximum(_norm(b), 1e-300)
+    x, _ = jsl.gmres(
+        A,
+        b,
+        x0=x0,
+        tol=tol_eff,
+        atol=abs_tol,
+        restart=restart,
+        maxiter=max_iters,
+        M=M if M is not None else None,
+        solve_method="batched",
+    )
+    nrm = _norm(b - A(x))
+    return SolveResult(x, jnp.array(-1, jnp.int32), nrm, nrm <= jnp.maximum(abs_tol, rel_tol * nrm0) * 1.001)
