@@ -1,0 +1,281 @@
+"""Steady incompressible Navier-Stokes + discrete adjoint + shape gradient.
+
+TPU-native equivalents of the reference's plugin discretizations:
+
+ * ``IncompressibleNavierStokes`` (2d_admm.lua:232-238): Taylor-Hood P2/P1
+   (vorder=2/porder=1, 2d_admm.lua:27-28) Galerkin weak form
+       nu*(grad v, grad w) + ((v.grad)v, w) - (p, div w) + (div v, psi) = 0
+   with inlet profile ``max(0, cos(pi*|y_perp|/diameter))`` (2d_admm.lua:216,
+   3d_admm.lua:193), no-slip on wall/obstacle, do-nothing outlet
+   (bDoNothing, 2d_admm.lua:83).  A stabilized equal-order P1/P1 variant
+   (Brezzi-Pitkaranta, gated by the reference's ``stab`` knob,
+   2d_admm.lua:47) is also provided - it shares the vertex-based multigrid
+   machinery and is the TPU-fast path.
+ * ``ADMMNavierStokesAdjoint`` (2d_admm.lua:286-297): instead of a
+   hand-assembled adjoint operator we solve the TRANSPOSED discrete Jacobian
+   system (J^T lambda = -dJ_drag/ds) via jax.vjp - exactly consistent with
+   the discretized state equation by construction.
+ * ``Sensitivity`` / J' (2d_admm.lua:530-553): the discrete shape gradient
+   dJ/dX = d/dX [ J_drag(v, X) + lambda^T R(v, p, X) ] by AD through the
+   residual assembly w.r.t. vertex coordinates, then masked to the obstacle
+   surface (``SetZeroAwayFromSubset``, 2d_admm.lua:814).
+ * ``Drag`` (2d_admm.lua:768): J = 1/2 * nu * int |grad v|^2 dx on the
+   current geometry.
+
+State is a packed vector s = [v (n_vel*dim), p (V)].
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import MeshLevel
+from ..core.quadrature import simplex_rule
+from ..core.spaces import p1_tab, p2_elem_dofs, p2_tab
+from .geometry import elem_geometry
+
+
+@dataclasses.dataclass
+class NSSpace:
+    """Static wiring for one mesh level (host side; arrays converted lazily)."""
+
+    dim: int
+    vorder: int
+    n_vertices: int
+    n_vel: int  # velocity dofs per component
+    elems: np.ndarray  # (E, d+1)
+    edges: np.ndarray  # (Ne, 2)
+    vel_dofs: np.ndarray  # (E, nbv) velocity element dofs
+    vel_fixed: np.ndarray  # (n_vel,) bool - Dirichlet velocity dofs
+    inlet: np.ndarray  # (n_vel,) bool - subset of fixed dofs with inflow data
+    # quadrature tables
+    qw: np.ndarray
+    val_v: np.ndarray  # (nq, nbv)
+    gref_v: np.ndarray  # (nq, nbv, d)
+    val_p: np.ndarray  # (nq, d+1)
+    drag_qw: np.ndarray
+    drag_gref_v: np.ndarray
+    diameter: float = 6.0
+
+    @property
+    def n_pressure(self) -> int:
+        return self.n_vertices
+
+    @property
+    def n_state(self) -> int:
+        return self.n_vel * self.dim + self.n_pressure
+
+    @classmethod
+    def build(
+        cls,
+        lvl: MeshLevel,
+        vorder: int = 2,
+        do_nothing: bool = True,
+        quad_degree: int = 5,
+        drag_quad_degree: int = 3,
+        diameter: float = 6.0,
+    ) -> "NSSpace":
+        d = lvl.dim
+        dir_names = ["inlet", "wall", "obstacle_surface"] + ([] if do_nothing else ["outlet"])
+        vmask = lvl.vertex_mask(dir_names)
+        inlet_v = lvl.subset_vertices["inlet"]
+        if vorder == 2:
+            vel_dofs = p2_elem_dofs(lvl)
+            emask = np.zeros(len(lvl.edges), dtype=bool)
+            imask_e = np.zeros(len(lvl.edges), dtype=bool)
+            for name in dir_names:
+                emask |= lvl.subset_edges[name]
+            imask_e |= lvl.subset_edges["inlet"]
+            vel_fixed = np.concatenate([vmask, emask])
+            inlet = np.concatenate([inlet_v, imask_e])
+            n_vel = lvl.num_vertices + len(lvl.edges)
+            val_v, gref_v = p2_tab(d, quad_degree)
+            _, drag_gref_v = p2_tab(d, drag_quad_degree)
+        elif vorder == 1:
+            vel_dofs = lvl.elems.copy()
+            vel_fixed = vmask.copy()
+            inlet = inlet_v.copy()
+            n_vel = lvl.num_vertices
+            val_v, gref_v = p1_tab(d, quad_degree)
+            _, drag_gref_v = p1_tab(d, drag_quad_degree)
+        else:
+            raise ValueError(f"unsupported velocity order {vorder}")
+        _, qw = simplex_rule(d, quad_degree)
+        val_p, _ = p1_tab(d, quad_degree)
+        _, drag_qw = simplex_rule(d, drag_quad_degree)
+        return cls(
+            dim=d,
+            vorder=vorder,
+            n_vertices=lvl.num_vertices,
+            n_vel=n_vel,
+            elems=lvl.elems,
+            edges=lvl.edges,
+            vel_dofs=vel_dofs,
+            vel_fixed=vel_fixed,
+            inlet=inlet,
+            qw=qw,
+            val_v=val_v,
+            gref_v=gref_v,
+            val_p=val_p,
+            drag_qw=drag_qw,
+            drag_gref_v=drag_gref_v,
+            diameter=diameter,
+        )
+
+    # -- packing ---------------------------------------------------------
+    def pack(self, v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        return jnp.concatenate([v.reshape(-1), p])
+
+    def unpack(self, s: jnp.ndarray):
+        nv = self.n_vel * self.dim
+        return s[:nv].reshape(self.n_vel, self.dim), s[nv:]
+
+
+def vel_dof_coords(space: NSSpace, coords: jnp.ndarray) -> jnp.ndarray:
+    """(n_vel, d) positions of velocity dofs on the CURRENT geometry."""
+    if space.vorder == 1:
+        return coords
+    mid = coords[jnp.asarray(space.edges)].mean(axis=1)
+    return jnp.concatenate([coords, mid], axis=0)
+
+
+def inlet_values(space: NSSpace, coords: jnp.ndarray) -> jnp.ndarray:
+    """(n_vel, d) Dirichlet data: cos-profile inflow in x, zero elsewhere.
+
+    Parity: InletVelocities (2d_admm.lua:216-220, 3d_admm.lua:193-197)."""
+    xc = vel_dof_coords(space, coords)
+    r2 = jnp.sum(xc[:, 1:] ** 2, axis=1)
+    # safe sqrt: grad(sqrt) is NaN at 0 (centerline dofs); the double-where
+    # pattern keeps AD through vertex coordinates finite
+    r = jnp.where(r2 > 0, jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
+    prof = jnp.maximum(0.0, jnp.cos(r * jnp.pi / space.diameter))
+    g = jnp.zeros((space.n_vel, space.dim), dtype=coords.dtype)
+    g = g.at[:, 0].set(jnp.where(jnp.asarray(space.inlet), prof, 0.0))
+    return g
+
+
+def ns_residual(
+    space: NSSpace,
+    coords: jnp.ndarray,
+    s: jnp.ndarray,
+    visc: float,
+    stab: float = 0.0,
+) -> jnp.ndarray:
+    """Packed Galerkin residual with Dirichlet rows replaced by (v - g)."""
+    d = space.dim
+    v, p = space.unpack(s)
+    elems = jnp.asarray(space.elems)
+    vel_dofs = jnp.asarray(space.vel_dofs)
+    _, detJ, Jinv, vol = elem_geometry(coords, elems)
+    qw = jnp.asarray(space.qw, dtype=coords.dtype)
+    val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
+    gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
+    val_p = jnp.asarray(space.val_p, dtype=coords.dtype)
+
+    gv = jnp.einsum("qbr,erd->eqbd", gref_v, Jinv)  # phys grads of vel basis
+    ve = v[vel_dofs]  # (E, nbv, d)
+    pe = p[elems]  # (E, d+1)
+
+    vq = jnp.einsum("qb,ebc->eqc", val_v, ve)  # (E, nq, d)
+    gradv = jnp.einsum("eqbd,ebc->eqcd", gv, ve)  # (E,nq,c,d) = d_d v_c
+    pq = jnp.einsum("qa,ea->eq", val_p, pe)
+    divv = jnp.trace(gradv, axis1=-2, axis2=-1)
+
+    wdet = qw[None, :] * detJ[:, None] / _dfact(d)  # quadrature * |J| / d!
+
+    conv = jnp.einsum("eqd,eqcd->eqc", vq, gradv)  # (v.grad)v
+    # momentum: nu grad v : grad w + conv.w - p div w
+    r_visc = visc * jnp.einsum("eq,eqcd,eqbd->ebc", wdet, gradv, gv)
+    r_conv = jnp.einsum("eq,eqc,qb->ebc", wdet, conv, val_v)
+    r_pres = -jnp.einsum("eq,eq,eqbc->ebc", wdet, pq, gv)
+    r_mom_e = r_visc + r_conv + r_pres  # (E, nbv, d)
+
+    r_div_e = jnp.einsum("eq,eq,qa->ea", wdet, divv, val_p)  # (E, d+1)
+    if stab != 0.0:
+        # Brezzi-Pitkaranta: -stab * h_e^2 (grad p, grad psi) on each element
+        gp1 = jnp.einsum("qar,erd->eqad", jnp.asarray(_p1_gref(d), coords.dtype), Jinv)
+        gradp = jnp.einsum("eqad,ea->eqd", gp1, pe)
+        h2 = vol ** (2.0 / d)
+        r_div_e = r_div_e - stab * jnp.einsum(
+            "e,eq,eqd,eqad->ea", h2, wdet, gradp, gp1
+        )
+
+    r_mom = jax.ops.segment_sum(
+        r_mom_e.reshape(-1, d), vel_dofs.reshape(-1), num_segments=space.n_vel
+    )
+    r_div = jax.ops.segment_sum(
+        r_div_e.reshape(-1), elems.reshape(-1), num_segments=space.n_vertices
+    )
+
+    # Dirichlet rows: R = v - g
+    g = inlet_values(space, coords)
+    fixed = jnp.asarray(space.vel_fixed)[:, None]
+    r_mom = jnp.where(fixed, v - g, r_mom)
+    return space.pack(r_mom, r_div)
+
+
+def _p1_gref(d):
+    g = np.zeros((1, d + 1, d))
+    g[0, 0] = -1.0
+    g[0, 1:] = np.eye(d)
+    return np.broadcast_to(g, (1, d + 1, d))
+
+
+def _dfact(d):
+    return 2.0 if d == 2 else 6.0
+
+
+def drag(space: NSSpace, coords: jnp.ndarray, s: jnp.ndarray, visc: float) -> jnp.ndarray:
+    """J = 1/2 * nu * int |grad v|^2 dx.  Parity: 0.5*visc*Drag(...)
+    (2d_admm.lua:768, 1291)."""
+    d = space.dim
+    v, _ = space.unpack(s)
+    elems = jnp.asarray(space.elems)
+    _, detJ, Jinv, _ = elem_geometry(coords, elems)
+    qw = jnp.asarray(space.drag_qw, dtype=coords.dtype)
+    gref = jnp.asarray(space.drag_gref_v, dtype=coords.dtype)
+    gv = jnp.einsum("qbr,erd->eqbd", gref, Jinv)
+    ve = v[jnp.asarray(space.vel_dofs)]
+    gradv = jnp.einsum("eqbd,ebc->eqcd", gv, ve)
+    wdet = qw[None, :] * detJ[:, None] / _dfact(d)
+    return 0.5 * visc * jnp.einsum("eq,eqcd,eqcd->", wdet, gradv, gradv)
+
+
+# ---------------------------------------------------------------------------
+# preconditioning helpers (diagonal surrogates; upgraded by solvers.ns_solver)
+# ---------------------------------------------------------------------------
+
+def diag_preconditioner(space: NSSpace, coords: jnp.ndarray, visc: float):
+    """Block-diagonal preconditioner: velocity ~ diag(nu*K + M),
+    pressure ~ lumped mass / nu (the standard Stokes Schur surrogate)."""
+    d = space.dim
+    elems = jnp.asarray(space.elems)
+    vel_dofs = jnp.asarray(space.vel_dofs)
+    _, detJ, Jinv, vol = elem_geometry(coords, elems)
+    qw = jnp.asarray(space.qw, dtype=coords.dtype)
+    val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
+    gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
+    gv = jnp.einsum("qbr,erd->eqbd", gref_v, Jinv)
+    wdet = qw[None, :] * detJ[:, None] / _dfact(d)
+    kdiag_e = jnp.einsum("eq,eqbd,eqbd->eb", wdet, gv, gv)
+    mdiag_e = jnp.einsum("eq,qb,qb->eb", wdet, val_v, val_v)
+    kdiag = jax.ops.segment_sum(
+        (visc * kdiag_e + mdiag_e).reshape(-1), vel_dofs.reshape(-1), num_segments=space.n_vel
+    )
+    kdiag = jnp.where(jnp.asarray(space.vel_fixed), 1.0, kdiag)
+    # lumped pressure mass
+    pm = jax.ops.segment_sum(
+        jnp.broadcast_to(vol[:, None] / (d + 1.0), elems.shape).reshape(-1),
+        elems.reshape(-1),
+        num_segments=space.n_vertices,
+    )
+    pdiag = pm / visc
+
+    def M(r):
+        rv, rp = space.unpack(r)
+        return space.pack(rv / kdiag[:, None], rp / pdiag)
+
+    return M

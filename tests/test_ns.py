@@ -1,0 +1,85 @@
+"""Navier-Stokes: residual consistency, Newton convergence, adjoint and
+AD shape gradient (verified against finite differences of the reduced drag)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_optim_tpu.core import geomgen
+from admm_optim_tpu.core.mesh import Hierarchy, refine
+from admm_optim_tpu.ops import navier_stokes as nsops
+from admm_optim_tpu.solvers import ns_solver
+
+VISC = 0.5  # moderate Reynolds for the coarse test mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    levels = [geomgen.channel_2d()]
+    levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    lvl = hier.fine
+    space = nsops.NSSpace.build(lvl, vorder=2)
+    coords = jnp.asarray(lvl.coords)
+    return hier, lvl, space, coords
+
+
+def _initial_state(space, coords):
+    g = nsops.inlet_values(space, coords)
+    v0 = g  # inlet data, zero elsewhere
+    p0 = jnp.zeros(space.n_pressure)
+    return space.pack(v0, p0)
+
+
+def test_residual_bc_rows(setup):
+    _, lvl, space, coords = setup
+    s = _initial_state(space, coords)
+    r = nsops.ns_residual(space, coords, s, VISC)
+    rv, _ = space.unpack(r)
+    # Dirichlet rows of the initial state (v=g there) must vanish
+    fixed = np.asarray(space.vel_fixed)
+    np.testing.assert_allclose(np.asarray(rv)[fixed], 0.0, atol=1e-14)
+
+
+def test_newton_converges_and_drag_positive(setup):
+    _, lvl, space, coords = setup
+    s0 = _initial_state(space, coords)
+    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC)
+    assert bool(conv), f"Newton failed: iters={int(it)} nrm={float(nrm)}"
+    assert float(nrm) < 1e-10
+    J = float(nsops.drag(space, coords, s, VISC))
+    assert J > 0.0
+    # velocity at obstacle surface must be zero, inlet must carry profile
+    v, p = space.unpack(s)
+    obs = np.asarray(space.vel_fixed) & ~np.asarray(space.inlet)
+    assert np.abs(np.asarray(v)[obs]).max() < 1e-14
+    assert float(jnp.max(v[:, 0])) > 0.5  # flow actually moves
+
+
+def test_adjoint_and_shape_gradient_match_fd(setup):
+    hier, lvl, space, coords = setup
+    s0 = _initial_state(space, coords)
+    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC)
+    assert bool(conv)
+    lam, res = ns_solver.adjoint_solve(space, coords, s, VISC)
+    assert float(res) < 1e-9
+
+    obs_mask = jnp.asarray(lvl.subset_vertices["obstacle_surface"]).astype(coords.dtype)
+    Jp = ns_solver.shape_gradient(space, coords, s, lam, VISC, 0.0, obs_mask)
+
+    # finite-difference check of the REDUCED functional: perturb obstacle
+    # vertices, re-solve NS, compare drag change against <J', dX>
+    rng = np.random.default_rng(0)
+    dX = rng.normal(size=coords.shape) * np.asarray(obs_mask)[:, None] * 1.0
+    dX = jnp.asarray(dX)
+
+    def reduced(eps):
+        Xp = coords + eps * dX
+        sp, _, nr, cv = ns_solver.newton_solve(space, Xp, s, VISC)
+        assert float(nr) < 1e-10
+        return float(nsops.drag(space, Xp, sp, VISC))
+
+    eps = 1e-5
+    fd = (reduced(eps) - reduced(-eps)) / (2 * eps)
+    ad = float(jnp.vdot(Jp, dX))
+    assert ad == pytest.approx(fd, rel=2e-4), f"AD {ad} vs FD {fd}"
