@@ -1,0 +1,140 @@
+"""Flag-compatible command-line driver.
+
+Mirrors the reference's ``ugshell -ex 2d_admm.lua -numRefs 3 -visc 0.02 ...``
+interface (flag names from 2d_admm.lua:43-87 / 3d_admm.lua:46-86), e.g.::
+
+    python -m admm_optim_tpu.cli -dim 2 -numRefs 2 -numSteps 10 \
+        -visc 0.02 -sigma_threshold 0.3 -tau 1.0 -outDir ./out
+
+Extra flags beyond the reference: ``-dim`` (one driver for both 2D/3D),
+``-outDir``, ``-x64`` (CPU double precision), ``-vorder``.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="admm_optim_tpu", description=__doc__, allow_abbrev=False,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    a = p.add_argument
+    a("-dim", type=int, default=2, choices=(2, 3))
+    a("-numRefs", type=int, default=3)
+    a("-numSteps", type=int, default=400)
+    a("-admmSteps", type=int, default=1000)
+    a("-visc", type=float, default=0.02)
+    a("-stab", type=float, default=0.0)
+    a("-sigma_threshold", type=float, default=0.3)
+    a("-scaling", type=float, default=1.0)
+    a("-admm_tolerance", type=float, default=1e-2)
+    a("-admm_gradient_tolerance", type=float, default=0.05)
+    a("-step_length", type=float, default=1.0)
+    a("-line_search", type=float, default=1e-5)
+    a("-tau", type=float, default=1.0)
+    a("-normName", type=str, default="frobenius", choices=("frobenius", "spectral"))
+    a("-nsMaxIts", type=int, default=10)
+    a("-nsTol", type=float, default=1e-9)
+    a("-nsAbsLuTol", type=float, default=1e-12)
+    a("-grid", type=str, default=None, help=".ugx grid file (default: generated)")
+    a("-bDoNothing", type=int, default=1)
+    a("-vorder", type=int, default=2, choices=(1, 2))
+    a("-outDir", type=str, default="./admm_out")
+    a("-x64", action="store_true", help="run in float64 on CPU")
+    a("-restart", type=str, default=None, help="checkpoint file to resume from")
+    a("-bOutputMesh", type=int, default=1)
+    a("-verbose", type=int, default=1)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    import jax
+
+    if args.x64:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from .io.telemetry import TelemetryWriter
+    from .models.obstacle import ObstacleShapeOpt, ProblemConfig
+    from .optim.admm import ADMMConfig
+    from .solvers.ns_solver import NewtonConfig
+
+    cfg = ProblemConfig(
+        dim=args.dim,
+        num_refs=args.numRefs,
+        num_steps=args.numSteps,
+        visc=args.visc,
+        stab=args.stab,
+        sigma_threshold=args.sigma_threshold,
+        scaling=args.scaling,
+        line_search_param=args.line_search,
+        do_nothing=bool(args.bDoNothing),
+        vorder=args.vorder,
+        grid_path=args.grid,
+        admm=ADMMConfig(
+            admm_steps=args.admmSteps,
+            admm_tolerance=args.admm_tolerance,
+            admm_gradient_tolerance=args.admm_gradient_tolerance,
+            tau=args.tau,
+            sigma_threshold=args.sigma_threshold,
+            scaling=args.scaling,
+            step_length=args.step_length,
+            norm_name=args.normName,
+            ns_max_its=args.nsMaxIts,
+            ns_tol=args.nsTol,
+            ns_abs_tol=args.nsAbsLuTol,
+        ),
+        ns=NewtonConfig(),
+    )
+    print("THE PARAMETERS USED FOR EXECUTION ARE:")
+    for k, v in vars(args).items():
+        print(f"  {k}: {v}")
+
+    prob = ObstacleShapeOpt(cfg)
+    print(prob.hier.describe())
+    tele = TelemetryWriter(args.outDir)
+
+    start_state = None
+    if args.restart:
+        from .io.checkpoint import load_checkpoint
+
+        start_state = load_checkpoint(args.restart)
+        print(f"resuming from {args.restart} at step {start_state['step']}")
+
+    if args.bOutputMesh:
+        from .io.vtk import write_vtu
+
+        def callback(step, X, s, rec):
+            import numpy as np
+
+            write_vtu(
+                f"{args.outDir}/mesh_step_{step:04d}.vtu",
+                np.asarray(X),
+                np.asarray(prob.elems),
+                point_data={"u": np.asarray(X - prob.X0)},
+            )
+    else:
+        callback = None
+
+    hist = prob.run(
+        telemetry=tele,
+        callback=callback,
+        verbose=bool(args.verbose),
+        resume=start_state,
+        checkpoint_path=f"{args.outDir}/checkpoint.npz",
+    )
+    tele.close()
+    if hist:
+        print(
+            f"DONE: {len(hist)} accepted steps, drag {hist[0].drag:.6f} -> {hist[-1].drag:.6f}"
+        )
+    else:
+        print("DONE: no accepted steps")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,61 @@
+"""Text telemetry writers matching the reference's gnuplot.write_data files.
+
+The reference dumps whitespace-separated columns via ``gnuplot.write_data``:
+``__Drag.txt`` (2d_admm.lua:1349), ``__Iterations_per_step.txt`` (2d:1383),
+``__ADMMStats_step_N_.txt`` (2d:1221), ``__NewtonStats...`` (2d:1256-1259),
+``__Failure_Data.txt`` (2d:1321).  Same formats here so downstream gnuplot
+scripts keep working, plus a structured JSONL mirror for modern tooling.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+
+def write_columns(path: str, columns: list[list]) -> None:
+    """gnuplot.write_data format: row index implicit, columns whitespace-sep."""
+    n = max((len(c) for c in columns), default=0)
+    with open(path, "w") as f:
+        for i in range(n):
+            row = [c[i] if i < len(c) else "" for c in columns]
+            f.write("\t".join(str(x) for x in row) + "\n")
+
+
+class TelemetryWriter:
+    """Per-run output directory with the reference's file set + JSONL."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(out_dir, "history.jsonl"), "a")
+
+    def log_step(self, record: dict) -> None:
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
+    def write_drag(self, steps, drag, norm_drag, drag_diff, shape_deriv):
+        write_columns(
+            os.path.join(self.out_dir, "__Drag.txt"),
+            [steps, drag, norm_drag, drag_diff, shape_deriv],
+        )
+
+    def write_iterations(self, steps, admm_steps, thresholds, newton, lin_total):
+        write_columns(
+            os.path.join(self.out_dir, "__Iterations_per_step.txt"),
+            [steps, admm_steps, thresholds, newton, lin_total],
+        )
+
+    def write_failures(self, fsteps, at_step, fdrag, fdiff, fthresh):
+        write_columns(
+            os.path.join(self.out_dir, "__Failure_Data.txt"),
+            [fsteps, at_step, fdrag, fdiff, fthresh],
+        )
+
+    def write_admm_stats(self, step, rows: dict):
+        cols = [rows[k] for k in sorted(rows)]
+        write_columns(
+            os.path.join(self.out_dir, f"__ADMMStats_step_{step}_.txt"), cols
+        )
+
+    def close(self):
+        self._jsonl.close()

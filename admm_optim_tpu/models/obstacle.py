@@ -1,0 +1,285 @@
+"""The flagship model: drag-minimizing obstacle shape optimization in
+steady incompressible Navier-Stokes channel flow, dim-generic (2D / 3D).
+
+This is the TPU-native re-design of the reference drivers ``2d_admm.lua`` /
+``3d_admm.lua`` end to end:
+
+ outer loop (2d:782-1527)
+   adjoint solve (2d:790-793)           -> solvers.ns_solver.adjoint_solve
+   J' assembly + mask (2d:811-814)      -> solvers.ns_solver.shape_gradient
+   step-size control loop (2d:836)      -> run(): sigma-halving retries
+     ADMM loop (2d:868-1253)            -> optim.admm.admm_inner (jitted)
+   mesh transform (2d:1284)             -> X += u (pure array op; revert is
+                                           exact because we keep X)
+   NS re-solve + drag (2d:1286-1294)    -> solvers.ns_solver.newton_solve
+   descent test (2d:1300-1306)          -> same Armijo-style condition
+   failure catalogue (2d:1308-1322)     -> history + telemetry files
+
+The 2D sign/feature conventions are used everywhere (SURVEY.md section 2c):
+the 3D driver's divergences (negated B vectors, plain drag comparison) are
+algebraically absorbed by the consistent KKT formulation in optim.admm.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import geomgen
+from ..core.mesh import Hierarchy, MeshLevel, refine
+from ..ops import deformation as dfm
+from ..ops import navier_stokes as nsops
+from ..ops.geometry import elem_geometry
+from ..ops.p1space import P1VectorSpace
+from ..optim import admm
+from ..solvers import mg, ns_solver
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemConfig:
+    """All reference CLI knobs (2d_admm.lua:43-87) in one place."""
+
+    dim: int = 2
+    num_refs: int = 3  # -numRefs
+    num_steps: int = 400  # -numSteps
+    visc: float = 0.02  # -visc
+    stab: float = 0.0  # -stab
+    sigma_threshold: float = 0.3  # -sigma_threshold
+    scaling: float = 1.0  # -scaling
+    line_search_param: float = 1e-5  # -line_search
+    do_nothing: bool = True  # -bDoNothing
+    vorder: int = 2  # velocity order (reference: constant vorder=2)
+    diameter: float = 6.0
+    max_attempts_per_step: int = 12  # bound on the reference's while(true)
+    grid_path: str | None = None  # load a .ugx instead of generating
+    admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
+    ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
+
+
+@dataclasses.dataclass
+class StepRecord:
+    step: int
+    drag: float
+    drag_diff: float
+    shape_derivative: float
+    sigma: float
+    scaling: float
+    admm_iters: int
+    newton_iters: int
+    lin_iters: int
+    attempts: int
+    wall_time: float
+
+
+class ObstacleShapeOpt:
+    """End-to-end shape optimization problem on a channel/obstacle mesh."""
+
+    def __init__(self, cfg: ProblemConfig, hier: Hierarchy | None = None):
+        self.cfg = cfg
+        if hier is None:
+            if cfg.grid_path is not None:
+                hier = Hierarchy.from_ugx(cfg.grid_path, cfg.num_refs)
+            else:
+                base = geomgen.channel_2d() if cfg.dim == 2 else geomgen.channel_3d()
+                levels = [base]
+                for _ in range(cfg.num_refs):
+                    levels.append(refine(levels[-1]))
+                hier = Hierarchy(levels)
+        assert hier.dim == cfg.dim
+        self.hier = hier
+        lvl = hier.fine
+        self.def_space = P1VectorSpace.build(hier, dirichlet=("inlet", "wall", "outlet"))
+        self.struct = self.def_space.mg_structure()
+        self.ns_space = nsops.NSSpace.build(
+            lvl,
+            vorder=cfg.vorder,
+            do_nothing=cfg.do_nothing,
+            diameter=cfg.diameter,
+        )
+        self.elems = jnp.asarray(lvl.elems)
+        self.free = self.def_space.free_mask()
+        self.obstacle_vmask = jnp.asarray(
+            lvl.subset_vertices["obstacle_surface"]
+        ).astype(jnp.asarray(lvl.coords).dtype)
+        self.X0 = jnp.asarray(lvl.coords)
+        _, _, _, vol = elem_geometry(self.X0, self.elems)
+        self.ref_volume = jnp.sum(vol)
+        self.ref_barycenter = dfm.barycenter(self.X0, self.elems, jnp.zeros_like(self.X0.T))
+
+        # jitted pipeline pieces (static self via closure; arrays traced)
+        a = cfg.admm
+        self._assemble = jax.jit(
+            lambda X: self.def_space.assemble_mg(self.struct, X, a.c_eps, a.tau, a.c_mass)
+        )
+        self._ns_solve = jax.jit(
+            lambda X, s0: ns_solver.newton_solve(self.ns_space, X, s0, cfg.visc, cfg.stab, cfg.ns)
+        )
+        self._adjoint = jax.jit(
+            lambda X, s: ns_solver.adjoint_solve(self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns)
+        )
+        self._jprime = jax.jit(
+            lambda X, s, lam: ns_solver.shape_gradient(
+                self.ns_space, X, s, lam, cfg.visc, cfg.stab, self.obstacle_vmask
+            ).T
+            * self.free  # (C, V); deformation BCs also fix inlet/wall/outlet
+        )
+        self._drag = jax.jit(lambda X, s: nsops.drag(self.ns_space, X, s, cfg.visc))
+        self._admm = jax.jit(
+            lambda mgdata, X, Jp, sigma, scaling: admm.admm_inner(
+                a, self.struct, mgdata, X, self.elems, self.free, Jp,
+                sigma, scaling, self.ref_volume, self.ref_barycenter,
+            )
+        )
+        self._min_det = jax.jit(lambda X: jnp.min(elem_geometry(X, self.elems)[1]))
+
+    # ------------------------------------------------------------------
+    def initial_state(self, X) -> jnp.ndarray:
+        g = nsops.inlet_values(self.ns_space, X)
+        return self.ns_space.pack(g, jnp.zeros(self.ns_space.n_pressure))
+
+    def run(
+        self,
+        num_steps: int | None = None,
+        telemetry=None,
+        callback: Callable | None = None,
+        verbose: bool = False,
+        resume: dict | None = None,
+        checkpoint_path: str | None = None,
+    ) -> list[StepRecord]:
+        """Full optimization loop.  Returns per-accepted-step records.
+
+        resume: dict from io.checkpoint.load_checkpoint (X, s, sigma, step,
+        drag_old); checkpoint_path: save after every accepted step."""
+        cfg = self.cfg
+        num_steps = num_steps if num_steps is not None else cfg.num_steps
+        if resume is not None:
+            X = jnp.asarray(resume["X"])
+            s = jnp.asarray(resume["s"])
+            sigma = float(resume["sigma"])
+            drag_old = float(resume["drag_old"])
+            start_step = int(resume["step"]) + 1
+        else:
+            X = self.X0
+            s0 = self.initial_state(X)
+            s, it, nrm, conv = self._ns_solve(X, s0)
+            if not bool(conv):
+                raise RuntimeError(f"initial NS solve failed: residual {float(nrm)}")
+            drag_old = float(self._drag(X, s))
+            sigma = cfg.sigma_threshold
+            start_step = 0
+        drag_init = drag_old
+        history: list[StepRecord] = []
+        failures: list[dict] = []
+
+        for step in range(start_step, num_steps):
+            t0 = time.perf_counter()
+            lam_adj, adj_res = self._adjoint(X, s)
+            Jp = self._jprime(X, s, lam_adj)
+            scaling = cfg.scaling  # reset each step (reference 2d:807)
+            accepted = False
+            attempts = 0
+            while not accepted and attempts < cfg.max_attempts_per_step:
+                attempts += 1
+                mgdata = self._assemble(X)
+                st = self._admm(mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling))
+                if bool(st.failed):
+                    sigma *= 0.5  # reference 2d:1269
+                    if verbose:
+                        print(f"step {step}: ADMM failed, sigma -> {sigma}")
+                    continue
+                X_new = X + st.u.T
+                if float(self._min_det(X_new)) <= 0.0:
+                    sigma *= 0.5
+                    if verbose:
+                        print(f"step {step}: mesh tangled, sigma -> {sigma}")
+                    continue
+                s_new, nit, nnrm, nconv = self._ns_solve(X_new, s)
+                if not bool(nconv):
+                    sigma *= 0.5
+                    if verbose:
+                        print(f"step {step}: NS diverged ({float(nnrm):.2e}), sigma -> {sigma}")
+                    continue
+                drag_new = float(self._drag(X_new, s_new))
+                shape_deriv = float(st.scaling * jnp.vdot(Jp, st.u))
+                ddiff = drag_new - drag_old
+                # descent test (reference 2d:1300-1306)
+                if ddiff > 0.0 or ddiff > cfg.line_search_param * shape_deriv:
+                    failures.append(
+                        dict(step=step, drag=drag_new, diff=ddiff, sigma=sigma)
+                    )
+                    sigma *= 0.5  # revert is implicit: X unchanged
+                    if verbose:
+                        print(f"step {step}: not a descent ({ddiff:+.3e}), sigma -> {sigma}")
+                    continue
+                # accept
+                X, s, drag_old = X_new, s_new, drag_new
+                accepted = True
+                rec = StepRecord(
+                    step=step,
+                    drag=drag_new,
+                    drag_diff=abs(ddiff),
+                    shape_derivative=shape_deriv,
+                    sigma=sigma,
+                    scaling=float(st.scaling),
+                    admm_iters=int(st.admm_it),
+                    newton_iters=int(st.total_newton),
+                    lin_iters=int(st.total_lin_iters),
+                    attempts=attempts,
+                    wall_time=time.perf_counter() - t0,
+                )
+                history.append(rec)
+                if verbose:
+                    print(
+                        f"step {step}: drag {drag_new:.6f} ({ddiff:+.2e}) "
+                        f"admm={rec.admm_iters} newton={rec.newton_iters} "
+                        f"sigma={sigma} [{rec.wall_time:.2f}s]"
+                    )
+                if telemetry is not None:
+                    telemetry.log_step(dataclasses.asdict(rec))
+                    steps = [r.step for r in history]
+                    telemetry.write_drag(
+                        steps,
+                        [r.drag for r in history],
+                        [r.drag / drag_init for r in history],
+                        [r.drag_diff for r in history],
+                        [r.shape_derivative for r in history],
+                    )
+                    telemetry.write_iterations(
+                        steps,
+                        [r.admm_iters for r in history],
+                        [r.sigma for r in history],
+                        [r.newton_iters for r in history],
+                        [r.lin_iters for r in history],
+                    )
+                    if failures:
+                        telemetry.write_failures(
+                            list(range(len(failures))),
+                            [f["step"] for f in failures],
+                            [f["drag"] for f in failures],
+                            [f["diff"] for f in failures],
+                            [f["sigma"] for f in failures],
+                        )
+                if checkpoint_path is not None:
+                    from ..io.checkpoint import save_checkpoint
+
+                    save_checkpoint(
+                        checkpoint_path,
+                        step=step,
+                        X=X,
+                        s=s,
+                        sigma=sigma,
+                        drag_old=drag_old,
+                    )
+                if callback is not None:
+                    callback(step, X, s, rec)
+            if not accepted:
+                if verbose:
+                    print(f"step {step}: no acceptable step found, stopping")
+                break
+        self.X_final = X
+        self.s_final = s
+        return history

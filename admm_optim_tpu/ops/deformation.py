@@ -23,13 +23,17 @@ Math spec (docs/MATH.md): the x-update minimizes
     F(u) = 1/2 a(u,u) + <J'_s, u> + tau/2 * int ||grad u - q* + lambda/tau||_F^2
 subject to g(u) = 0 (volume + barycenter of the deformed domain), with
     a(u,w) = (1/step_length) * int [ eps(u):eps(w) + u.w ] dx.
+
+**Layouts** (see ops.geometry): vertex fields ``u (C, V)``; per-element
+tensors (lambda, q, grad u) ``(d, d, E)``; element matrices
+``(C, C, nl, nl, E)``.
 """
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
 
-from .geometry import elem_geometry, p1_phys_grads, sdet
+from .geometry import elem_geometry, gather_elem, p1_phys_grads, sdet
 
 
 # ---------------------------------------------------------------------------
@@ -37,27 +41,23 @@ from .geometry import elem_geometry, p1_phys_grads, sdet
 # ---------------------------------------------------------------------------
 
 def deformation_elem_mats(coords, elems, c_eps, c_grad, c_mass):
-    """(E, nl, C, nl, C) analytic P1 vector element matrices for
-    c_eps*eps(u):eps(w) + c_grad*grad(u):grad(w) + c_mass*u.w."""
+    """(C, C, nl, nl, E) analytic P1 vector element matrices for
+    c_eps*eps(u):eps(w) + c_grad*grad(u):grad(w) + c_mass*u.w.
+
+    A[c, d, i, j, e] couples test dof (i, c) with trial dof (j, d)."""
     d = coords.shape[1]
     nl = d + 1
     _, _, Jinv, vol = elem_geometry(coords, elems)
-    g = p1_phys_grads(Jinv)  # (E, nl, d)
-    K = jnp.einsum("eic,ejc->eij", g, g) * vol[:, None, None]  # scalar stiffness
-    G = jnp.einsum("eid,ejc->eicjd", g, g) * vol[:, None, None, None, None]
-    # wait: eps term cross part is int d_{d'}phi_i d_c phi_j -> test (i,c), trial (j,d'):
-    # A[i,c,j,dp] += 0.5*int d_{dp}phi_i * d_c phi_j
-    cross = jnp.einsum("eib,ejc->eicjb", g, g)  # A[i,c,j,b] = g_i[b] * g_j[c]
-    eyeC = jnp.eye(d)
-    A = (
-        c_grad * jnp.einsum("eij,cd->eicjd", K, eyeC)
-        + c_eps * 0.5 * jnp.einsum("eij,cd->eicjd", K, eyeC)
-        + c_eps * 0.5 * cross * vol[:, None, None, None, None]
-    )
+    g = p1_phys_grads(Jinv)  # (nl, d, E)
+    K = jnp.einsum("iae,jae->ije", g, g) * vol  # scalar stiffness (nl,nl,E)
+    eyeC = jnp.eye(d, dtype=coords.dtype)
+    # cross term of eps:eps -> A[c,d,i,j,e] += 0.5*c_eps * g[i,d,e]*g[j,c,e]*vol
+    cross = jnp.einsum("ide,jce,e->cdije", g, g, vol)
+    A = jnp.einsum("cd,ije->cdije", (c_grad + 0.5 * c_eps) * eyeC, K)
+    A = A + 0.5 * c_eps * cross
     # exact P1 mass: int l_i l_j = vol * (1+delta_ij)/((d+1)(d+2))
     mfac = (jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))
-    M = vol[:, None, None] * mfac
-    A = A + c_mass * jnp.einsum("eij,cd->eicjd", M, eyeC)
+    A = A + c_mass * jnp.einsum("cd,ij,e->cdije", eyeC, mfac.astype(coords.dtype), vol)
     return A
 
 
@@ -66,10 +66,12 @@ def deformation_elem_mats(coords, elems, c_eps, c_grad, c_mass):
 # ---------------------------------------------------------------------------
 
 def elem_grads_of(coords, elems, u):
-    """Per-element gradient of a P1 vector field: (E, d, d), G[c,d]=d_d u_c."""
+    """Per-element gradient of a P1 vector field u (C, V): returns
+    (G (d, d, E) with G[c, d] = d_d u_c, vol (E,))."""
     _, _, Jinv, vol = elem_geometry(coords, elems)
-    g = p1_phys_grads(Jinv)
-    G = jnp.einsum("eid,eic->ecd", g, u[elems])
+    g = p1_phys_grads(Jinv)  # (nl, d, E)
+    ue = u[:, elems.T]  # (C, nl, E)
+    G = jnp.einsum("ide,cie->cde", g, ue)
     return G, vol
 
 
@@ -79,7 +81,7 @@ def volume_defect(coords, elems, u, ref_volume):
     Parity: VolumeDefect (2d_admm.lua:773,1122)."""
     G, vol = elem_grads_of(coords, elems, u)
     d = coords.shape[1]
-    det = sdet(jnp.eye(d)[None] + G)
+    det = sdet(jnp.eye(d, dtype=coords.dtype)[:, :, None] + G)
     return jnp.sum(vol * det) - ref_volume
 
 
@@ -89,9 +91,10 @@ def barycenter(coords, elems, u):
     Parity: BarycenterDefect (2d_admm.lua:1123)."""
     G, vol = elem_grads_of(coords, elems, u)
     d = coords.shape[1]
-    det = sdet(jnp.eye(d)[None] + G)
-    centroid = (coords[elems] + u[elems]).mean(axis=1)  # (E, d) exact for linear
-    return jnp.einsum("e,ec->c", vol * det, centroid)
+    det = sdet(jnp.eye(d, dtype=coords.dtype)[:, :, None] + G)
+    xe = gather_elem(coords, elems) + u[:, elems.T]  # (d, nl, E)
+    centroid = xe.mean(axis=1)  # (d, E) exact for linear integrands
+    return jnp.einsum("e,ce->c", vol * det, centroid)
 
 
 def constraints(coords, elems, u, ref_volume, ref_barycenter):
@@ -105,13 +108,13 @@ def constraints(coords, elems, u, ref_volume, ref_barycenter):
 
 
 def constraint_grads(coords, elems, u, ref_volume, ref_barycenter, free_mask):
-    """B (m, V, d): gradients of g wrt u, Dirichlet rows zeroed.
+    """B (m, C, V): gradients of g wrt u (C, V), Dirichlet rows zeroed.
 
     Replaces the assembled SecondDerivative{Volume,Barycenter} defects
     (2d_admm.lua:937-939); computed by AD so they are exactly consistent
-    with `constraints`."""
+    with `constraints`.  free_mask: (C, V) float."""
     jac = jax.jacrev(lambda uu: constraints(coords, elems, uu, ref_volume, ref_barycenter))(u)
-    return jac * free_mask[None]  # free_mask: (V, C)
+    return jac * free_mask[None]
 
 
 def constraint_hvp(coords, elems, u, Lmbda, ref_volume, ref_barycenter, x):
@@ -129,18 +132,22 @@ def constraint_hvp(coords, elems, u, Lmbda, ref_volume, ref_barycenter, x):
 # ---------------------------------------------------------------------------
 
 def tensor_rhs(coords, elems, M):
-    """Assemble r[i,c] = int M : grad w dx for per-element tensor M (E,d,d)
-    with test function w = phi_i e_c, i.e. r[v,c] = sum_e vol_e M[e,c,:].g_v.
+    """Assemble r (C, V): r[c, v] = int M : grad w dx for per-element tensor
+    M (d, d, E) with test function w = phi_v e_c.
 
     Parity: the lambda/q import terms of DeformationEquationRHS
     (2d_admm.lua:437-456)."""
     _, _, Jinv, vol = elem_geometry(coords, elems)
-    g = p1_phys_grads(Jinv)  # (E, nl, d)
-    contrib = jnp.einsum("e,ecd,eid->eic", vol, M, g)  # (E, nl, d=C)
+    g = p1_phys_grads(Jinv)  # (nl, d, E)
+    contrib = jnp.einsum("e,cde,ide->cie", vol, M, g)  # (C, nl, E)
+    C = coords.shape[1]
     V = coords.shape[0]
-    return jax.ops.segment_sum(
-        contrib.reshape(-1, coords.shape[1]), elems.reshape(-1), num_segments=V
-    )
+    seg_ids = elems.T.reshape(-1)  # (nl*E,)
+
+    def seg(v):
+        return jax.ops.segment_sum(v, seg_ids, num_segments=V)
+
+    return jax.vmap(seg)(contrib.reshape(C, -1))  # (C, V)
 
 
 # ---------------------------------------------------------------------------
@@ -148,69 +155,67 @@ def tensor_rhs(coords, elems, M):
 # ---------------------------------------------------------------------------
 
 def project_frobenius(Q, sigma):
-    """Project (E,d,d) tensors onto the Frobenius ball of radius sigma.
+    """Project (d, d, E) tensors onto the Frobenius ball of radius sigma.
 
     Parity: Testing(q_projected, q, ..., sigma) (2d_admm.lua:897)."""
-    nrm = jnp.sqrt(jnp.sum(Q * Q, axis=(-2, -1)))
-    scale = jnp.minimum(1.0, sigma / jnp.maximum(nrm, 1e-300))
-    return Q * scale[..., None, None]
+    nrm = jnp.sqrt(jnp.sum(Q * Q, axis=(0, 1)))
+    scale = jnp.minimum(1.0, sigma / jnp.maximum(nrm, 1e-30))
+    return Q * scale
+
+
+def _svals_2x2(Q):
+    a, b = Q[0, 0], Q[0, 1]
+    c, dd = Q[1, 0], Q[1, 1]
+    e1 = jnp.sqrt((a + dd) ** 2 + (c - b) ** 2) * 0.5
+    e2 = jnp.sqrt((a - dd) ** 2 + (c + b) ** 2) * 0.5
+    return a, b, c, dd, e1, e2
 
 
 def project_spectral(Q, sigma):
     """Project onto the spectral-norm ball: clamp singular values at sigma.
 
     Parity: ProjectWithSpectralNorm (2d_admm.lua:902). 2D uses the closed
-    form via the Frobenius decomposition of 2x2 matrices; 3D uses batched SVD.
-    """
-    d = Q.shape[-1]
+    form via the rotation/reflection decomposition of 2x2 matrices; 3D uses
+    batched SVD."""
+    d = Q.shape[0]
     if d == 2:
-        # 2x2 SVD via rotation decomposition: s_max/min = |E| +- |F| with
-        # E = (a+d)/2,(c-b)/2; F = (a-d)/2,(c+b)/2 (standard closed form)
-        a, b = Q[..., 0, 0], Q[..., 0, 1]
-        c, dd = Q[..., 1, 0], Q[..., 1, 1]
-        e1 = jnp.sqrt(((a + dd) ** 2 + (c - b) ** 2)) * 0.5
-        e2 = jnp.sqrt(((a - dd) ** 2 + (c + b) ** 2)) * 0.5
-        s1, s2 = e1 + e2, jnp.abs(e1 - e2)  # s1 >= s2 >= 0
-        # decompose Q = E + F with E = e1*R (rotation part), F = e2*S
-        # (reflection part); rescale each so the singular values clamp.
-        half = 0.5
-        E = jnp.stack([jnp.stack([a + dd, b - c], -1), jnp.stack([c - b, a + dd], -1)], -2) * half
-        F = jnp.stack([jnp.stack([a - dd, b + c], -1), jnp.stack([c + b, dd - a], -1)], -2) * half
-        # singular values are e1 +/- e2 with |E| = e1, |F| = e2 (scaled frob)
-        # scale E and F so that new (e1', e2') give clamped (s1', s2')
+        a, b, c, dd, e1, e2 = _svals_2x2(Q)
+        s1, s2 = e1 + e2, jnp.abs(e1 - e2)  # singular values s1 >= s2 >= 0
+        E = 0.5 * jnp.stack([jnp.stack([a + dd, b - c]), jnp.stack([c - b, a + dd])])
+        F = 0.5 * jnp.stack([jnp.stack([a - dd, b + c]), jnp.stack([c + b, dd - a])])
         s1c = jnp.minimum(s1, sigma)
         s2c = jnp.minimum(s2, sigma)
-        e1c = 0.5 * (s1c + jnp.sign(e1 - e2) * s2c)
-        e2c = 0.5 * (s1c - jnp.sign(e1 - e2) * s2c)
-        rE = jnp.where(e1 > 1e-300, e1c / jnp.maximum(e1, 1e-300), 1.0)
-        rF = jnp.where(e2 > 1e-300, e2c / jnp.maximum(e2, 1e-300), 1.0)
-        return E * rE[..., None, None] + F * rF[..., None, None]
-    U, S, Vt = jnp.linalg.svd(Q)
+        sgn = jnp.sign(e1 - e2)
+        e1c = 0.5 * (s1c + sgn * s2c)
+        e2c = 0.5 * (s1c - sgn * s2c)
+        rE = jnp.where(e1 > 1e-30, e1c / jnp.maximum(e1, 1e-30), 1.0)
+        rF = jnp.where(e2 > 1e-30, e2c / jnp.maximum(e2, 1e-30), 1.0)
+        return E * rE + F * rF
+    Qe = jnp.moveaxis(Q, -1, 0)  # (E, d, d) only for the lapack-style SVD
+    U, S, Vt = jnp.linalg.svd(Qe)
     Sc = jnp.minimum(S, sigma)
-    return jnp.einsum("...ij,...j,...jk->...ik", U, Sc, Vt)
+    out = jnp.einsum("eij,ej,ejk->eik", U, Sc, Vt)
+    return jnp.moveaxis(out, 0, -1)
 
 
 def max_frobenius_norm(coords, elems, u):
     """max_e ||grad u||_F.  Parity: MaximumFrobeniusNorm (2d_admm.lua:898)."""
     G, _ = elem_grads_of(coords, elems, u)
-    return jnp.max(jnp.sqrt(jnp.sum(G * G, axis=(-2, -1))))
+    return jnp.max(jnp.sqrt(jnp.sum(G * G, axis=(0, 1))))
 
 
 def max_spectral_norm(coords, elems, u):
     """max_e sigma_max(grad u).  Parity: MaxSpectralNorm (2d_admm.lua:901)."""
     G, _ = elem_grads_of(coords, elems, u)
     if coords.shape[1] == 2:
-        a, b = G[..., 0, 0], G[..., 0, 1]
-        c, dd = G[..., 1, 0], G[..., 1, 1]
-        e1 = jnp.sqrt(((a + dd) ** 2 + (c - b) ** 2)) * 0.5
-        e2 = jnp.sqrt(((a - dd) ** 2 + (c + b) ** 2)) * 0.5
+        _, _, _, _, e1, e2 = _svals_2x2(G)
         return jnp.max(e1 + e2)
-    s = jnp.linalg.svd(G, compute_uv=False)
-    return jnp.max(s[..., 0])
+    s = jnp.linalg.svd(jnp.moveaxis(G, -1, 0), compute_uv=False)
+    return jnp.max(s[:, 0])
 
 
 def z_update(coords, elems, u, lam, tau, sigma, norm_name="frobenius"):
-    """q* = Proj_sigma( grad u |_e + lambda_e / tau ).  (E, d, d).
+    """q* = Proj_sigma( grad u |_e + lambda_e / tau ).  (d, d, E).
 
     Collapses the reference's MassModel assembly + CG solve + projection
     (2d_admm.lua:883-905) into exact elementwise arithmetic: on a

@@ -22,7 +22,8 @@ TPU-native equivalents of the reference's plugin discretizations:
  * ``Drag`` (2d_admm.lua:768): J = 1/2 * nu * int |grad v|^2 dx on the
    current geometry.
 
-State is a packed vector s = [v (n_vel*dim), p (V)].
+State is a packed vector s = [v (dim, n_vel) component-major, p (V)].
+Layouts follow ops.geometry: element axis LAST on all batched tensors.
 """
 from __future__ import annotations
 
@@ -35,7 +36,7 @@ import numpy as np
 from ..core.mesh import MeshLevel
 from ..core.quadrature import simplex_rule
 from ..core.spaces import p1_tab, p2_elem_dofs, p2_tab
-from .geometry import elem_geometry
+from .geometry import elem_geometry, p1_phys_grads
 
 
 @dataclasses.dataclass
@@ -127,33 +128,34 @@ class NSSpace:
 
     # -- packing ---------------------------------------------------------
     def pack(self, v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+        """v (dim, n_vel) component-major, p (V,) -> flat state."""
         return jnp.concatenate([v.reshape(-1), p])
 
     def unpack(self, s: jnp.ndarray):
         nv = self.n_vel * self.dim
-        return s[:nv].reshape(self.n_vel, self.dim), s[nv:]
+        return s[:nv].reshape(self.dim, self.n_vel), s[nv:]
 
 
 def vel_dof_coords(space: NSSpace, coords: jnp.ndarray) -> jnp.ndarray:
-    """(n_vel, d) positions of velocity dofs on the CURRENT geometry."""
+    """(d, n_vel) positions of velocity dofs on the CURRENT geometry."""
     if space.vorder == 1:
-        return coords
+        return coords.T
     mid = coords[jnp.asarray(space.edges)].mean(axis=1)
-    return jnp.concatenate([coords, mid], axis=0)
+    return jnp.concatenate([coords, mid], axis=0).T
 
 
 def inlet_values(space: NSSpace, coords: jnp.ndarray) -> jnp.ndarray:
     """(n_vel, d) Dirichlet data: cos-profile inflow in x, zero elsewhere.
 
     Parity: InletVelocities (2d_admm.lua:216-220, 3d_admm.lua:193-197)."""
-    xc = vel_dof_coords(space, coords)
-    r2 = jnp.sum(xc[:, 1:] ** 2, axis=1)
+    xc = vel_dof_coords(space, coords)  # (d, n_vel)
+    r2 = jnp.sum(xc[1:, :] ** 2, axis=0)
     # safe sqrt: grad(sqrt) is NaN at 0 (centerline dofs); the double-where
     # pattern keeps AD through vertex coordinates finite
     r = jnp.where(r2 > 0, jnp.sqrt(jnp.where(r2 > 0, r2, 1.0)), 0.0)
     prof = jnp.maximum(0.0, jnp.cos(r * jnp.pi / space.diameter))
-    g = jnp.zeros((space.n_vel, space.dim), dtype=coords.dtype)
-    g = g.at[:, 0].set(jnp.where(jnp.asarray(space.inlet), prof, 0.0))
+    g = jnp.zeros((space.dim, space.n_vel), dtype=coords.dtype)
+    g = g.at[0, :].set(jnp.where(jnp.asarray(space.inlet), prof, 0.0))
     return g
 
 
@@ -166,53 +168,52 @@ def ns_residual(
 ) -> jnp.ndarray:
     """Packed Galerkin residual with Dirichlet rows replaced by (v - g)."""
     d = space.dim
-    v, p = space.unpack(s)
+    v, p = space.unpack(s)  # v (d, n_vel), p (V,)
     elems = jnp.asarray(space.elems)
-    vel_dofs = jnp.asarray(space.vel_dofs)
+    vel_dofs_t = jnp.asarray(space.vel_dofs).T  # (nbv, E)
     _, detJ, Jinv, vol = elem_geometry(coords, elems)
     qw = jnp.asarray(space.qw, dtype=coords.dtype)
     val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
     gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
     val_p = jnp.asarray(space.val_p, dtype=coords.dtype)
 
-    gv = jnp.einsum("qbr,erd->eqbd", gref_v, Jinv)  # phys grads of vel basis
-    ve = v[vel_dofs]  # (E, nbv, d)
-    pe = p[elems]  # (E, d+1)
+    gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)  # (nq, nbv, d, E)
+    ve = v[:, vel_dofs_t]  # (c, nbv, E)
+    pe = p[elems.T]  # (nl, E)
 
-    vq = jnp.einsum("qb,ebc->eqc", val_v, ve)  # (E, nq, d)
-    gradv = jnp.einsum("eqbd,ebc->eqcd", gv, ve)  # (E,nq,c,d) = d_d v_c
-    pq = jnp.einsum("qa,ea->eq", val_p, pe)
-    divv = jnp.trace(gradv, axis1=-2, axis2=-1)
+    vq = jnp.einsum("qb,cbe->cqe", val_v, ve)  # (c, nq, E)
+    gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)  # (c, d, nq, E) = d_d v_c
+    pq = jnp.einsum("qa,ae->qe", val_p, pe)
+    divv = jnp.einsum("ccqe->qe", gradv)
 
-    wdet = qw[None, :] * detJ[:, None] / _dfact(d)  # quadrature * |J| / d!
+    wdet = qw[:, None] * detJ[None, :] / _dfact(d)  # (nq, E)
 
-    conv = jnp.einsum("eqd,eqcd->eqc", vq, gradv)  # (v.grad)v
+    conv = jnp.einsum("dqe,cdqe->cqe", vq, gradv)  # (v.grad)v
     # momentum: nu grad v : grad w + conv.w - p div w
-    r_visc = visc * jnp.einsum("eq,eqcd,eqbd->ebc", wdet, gradv, gv)
-    r_conv = jnp.einsum("eq,eqc,qb->ebc", wdet, conv, val_v)
-    r_pres = -jnp.einsum("eq,eq,eqbc->ebc", wdet, pq, gv)
-    r_mom_e = r_visc + r_conv + r_pres  # (E, nbv, d)
+    r_visc = visc * jnp.einsum("qe,cdqe,qbde->cbe", wdet, gradv, gv)
+    r_conv = jnp.einsum("qe,cqe,qb->cbe", wdet, conv, val_v)
+    r_pres = -jnp.einsum("qe,qe,qbce->cbe", wdet, pq, gv)
+    r_mom_e = r_visc + r_conv + r_pres  # (c, nbv, E)
 
-    r_div_e = jnp.einsum("eq,eq,qa->ea", wdet, divv, val_p)  # (E, d+1)
+    r_div_e = jnp.einsum("qe,qe,qa->ae", wdet, divv, val_p)  # (nl, E)
     if stab != 0.0:
         # Brezzi-Pitkaranta: -stab * h_e^2 (grad p, grad psi) on each element
-        gp1 = jnp.einsum("qar,erd->eqad", jnp.asarray(_p1_gref(d), coords.dtype), Jinv)
-        gradp = jnp.einsum("eqad,ea->eqd", gp1, pe)
+        gp1 = p1_phys_grads(Jinv)  # (nl, d, E)
+        gradp = jnp.einsum("ade,ae->de", gp1, pe)
         h2 = vol ** (2.0 / d)
-        r_div_e = r_div_e - stab * jnp.einsum(
-            "e,eq,eqd,eqad->ea", h2, wdet, gradp, gp1
-        )
+        r_div_e = r_div_e - stab * jnp.einsum("e,de,ade->ae", h2 * vol, gradp, gp1)
 
-    r_mom = jax.ops.segment_sum(
-        r_mom_e.reshape(-1, d), vel_dofs.reshape(-1), num_segments=space.n_vel
-    )
+    vseg = vel_dofs_t.reshape(-1)
+    r_mom = jax.vmap(
+        lambda row: jax.ops.segment_sum(row, vseg, num_segments=space.n_vel)
+    )(r_mom_e.reshape(d, -1))  # (d, n_vel)
     r_div = jax.ops.segment_sum(
-        r_div_e.reshape(-1), elems.reshape(-1), num_segments=space.n_vertices
+        r_div_e.reshape(-1), elems.T.reshape(-1), num_segments=space.n_vertices
     )
 
     # Dirichlet rows: R = v - g
     g = inlet_values(space, coords)
-    fixed = jnp.asarray(space.vel_fixed)[:, None]
+    fixed = jnp.asarray(space.vel_fixed)[None, :]
     r_mom = jnp.where(fixed, v - g, r_mom)
     return space.pack(r_mom, r_div)
 
@@ -237,11 +238,11 @@ def drag(space: NSSpace, coords: jnp.ndarray, s: jnp.ndarray, visc: float) -> jn
     _, detJ, Jinv, _ = elem_geometry(coords, elems)
     qw = jnp.asarray(space.drag_qw, dtype=coords.dtype)
     gref = jnp.asarray(space.drag_gref_v, dtype=coords.dtype)
-    gv = jnp.einsum("qbr,erd->eqbd", gref, Jinv)
-    ve = v[jnp.asarray(space.vel_dofs)]
-    gradv = jnp.einsum("eqbd,ebc->eqcd", gv, ve)
-    wdet = qw[None, :] * detJ[:, None] / _dfact(d)
-    return 0.5 * visc * jnp.einsum("eq,eqcd,eqcd->", wdet, gradv, gradv)
+    gv = jnp.einsum("qbr,rde->qbde", gref, Jinv)
+    ve = v[:, jnp.asarray(space.vel_dofs).T]  # (c, nbv, E)
+    gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)
+    wdet = qw[:, None] * detJ[None, :] / _dfact(d)
+    return 0.5 * visc * jnp.einsum("qe,cdqe,cdqe->", wdet, gradv, gradv)
 
 
 # ---------------------------------------------------------------------------
@@ -253,29 +254,31 @@ def diag_preconditioner(space: NSSpace, coords: jnp.ndarray, visc: float):
     pressure ~ lumped mass / nu (the standard Stokes Schur surrogate)."""
     d = space.dim
     elems = jnp.asarray(space.elems)
-    vel_dofs = jnp.asarray(space.vel_dofs)
+    vel_dofs_t = jnp.asarray(space.vel_dofs).T  # (nbv, E)
     _, detJ, Jinv, vol = elem_geometry(coords, elems)
     qw = jnp.asarray(space.qw, dtype=coords.dtype)
     val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
     gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
-    gv = jnp.einsum("qbr,erd->eqbd", gref_v, Jinv)
-    wdet = qw[None, :] * detJ[:, None] / _dfact(d)
-    kdiag_e = jnp.einsum("eq,eqbd,eqbd->eb", wdet, gv, gv)
-    mdiag_e = jnp.einsum("eq,qb,qb->eb", wdet, val_v, val_v)
+    gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)
+    wdet = qw[:, None] * detJ[None, :] / _dfact(d)
+    kdiag_e = jnp.einsum("qe,qbde,qbde->be", wdet, gv, gv)
+    mdiag_e = jnp.einsum("qe,qb,qb->be", wdet, val_v, val_v)
     kdiag = jax.ops.segment_sum(
-        (visc * kdiag_e + mdiag_e).reshape(-1), vel_dofs.reshape(-1), num_segments=space.n_vel
+        (visc * kdiag_e + mdiag_e).reshape(-1),
+        vel_dofs_t.reshape(-1),
+        num_segments=space.n_vel,
     )
     kdiag = jnp.where(jnp.asarray(space.vel_fixed), 1.0, kdiag)
     # lumped pressure mass
     pm = jax.ops.segment_sum(
-        jnp.broadcast_to(vol[:, None] / (d + 1.0), elems.shape).reshape(-1),
-        elems.reshape(-1),
+        jnp.broadcast_to(vol[None, :] / (d + 1.0), elems.T.shape).reshape(-1),
+        elems.T.reshape(-1),
         num_segments=space.n_vertices,
     )
     pdiag = pm / visc
 
     def M(r):
         rv, rp = space.unpack(r)
-        return space.pack(rv / kdiag[:, None], rp / pdiag)
+        return space.pack(rv / kdiag[None, :], rp / pdiag)
 
     return M

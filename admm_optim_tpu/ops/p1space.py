@@ -40,7 +40,7 @@ class P1VectorSpace:
         for lvl in hier.levels:
             patterns.append(sparsity.build_pattern(lvl.elems, lvl.num_vertices, d))
             m = lvl.vertex_mask(dirichlet)
-            fixed.append(np.repeat(m[:, None], d, axis=1))
+            fixed.append(np.repeat(m[None, :], d, axis=0))  # (C, V)
             elems.append(jnp.asarray(lvl.elems))
             nv.append(lvl.num_vertices)
         parents = [np.asarray(hier.levels[l].parents) for l in range(1, len(hier.levels))]
@@ -51,7 +51,7 @@ class P1VectorSpace:
         return self.patterns[-1]
 
     def free_mask(self, level: int = -1) -> jnp.ndarray:
-        """(V, C) float mask: 1 at free dofs, 0 at Dirichlet dofs."""
+        """(C, V) float mask: 1 at free dofs, 0 at Dirichlet dofs."""
         return jnp.asarray(~self.fixed[level], dtype=jnp.zeros(0).dtype)
 
     def mg_structure(self, pre_smooth=3, post_smooth=3, cheb_lower=0.25) -> MGStructure:

@@ -1,20 +1,25 @@
 """Block-ELL sparse operators with precomputed FE assembly maps.
 
 TPU-native replacement for UG4's CPU sparse matrices behind
-``AssembledLinearOperator`` (reference 2d_admm.lua:331,478).  The sparsity
-pattern of a fixed mesh topology never changes, so we precompute, per
-(dof-map, pattern):
+``AssembledLinearOperator`` (reference 2d_admm.lua:331,478).
 
- * a padded neighbor table ``cols (N, K)`` (ELL format, padded with the row
-   index itself so gathers stay in-bounds and padded values of 0 are no-ops),
- * a scatter map ``slots (E*nl*nl,)`` sending each element-local matrix entry
-   to its flat position in ``vals (N*K)``,
- * the diagonal slot per row.
+**Layout: structure-of-arrays, big axis LAST.**  TPU tiles the last two
+dimensions of every materialized buffer to (8, 128) for f32; arrays shaped
+``(N, K, C, C)`` pad their trailing (C, C)=(3, 3) to (8, 128) - a 56x memory
+blowup (observed: 400 MB of 3D element matrices ballooning to 22.5 GB of
+HBM).  All persistent operator data therefore keeps the row axis N (or
+element axis E) in the minor-most position:
 
-Per assembly we only ``segment_sum`` the freshly computed element matrices
-into ``vals`` - a single fused scatter.  SpMV is a gather + batched small
-matmul: ``y[n] = sum_k vals[n,k] @ x[cols[n,k]]`` which maps onto the
-VPU/MXU with perfectly regular access.
+ * ``cols  (K, N)``      padded neighbor table (ELL), padded with the row
+   index itself so gathers stay in-bounds and padded values of 0 are no-ops
+ * ``vals  (C, C, K, N)`` block values; trailing (K, N) pads K to 8 and N to
+   128 - bounded <= 1.5x waste
+ * fields at the solver level are FLAT component-major vectors
+   ``x (C*N,) == X(C, N).ravel()``; spmv reshapes (free, layout-compatible)
+
+The assembly scatter map sends element-local matrix entries (ordered
+(i, j, e), e minor) to k-major flat slots ``k*N + n`` so the segment_sum
+output reshapes to (K, N) without a copy.
 """
 from __future__ import annotations
 
@@ -32,119 +37,142 @@ class Pattern:
 
     n_rows: int
     block: int  # block size C (components per row)
-    cols: np.ndarray  # (N, K) int32
-    slots: np.ndarray  # (E*nl*nl,) int32 flat index into (N*K)
-    diag_slot: np.ndarray  # (N,) int32 flat index of the diagonal entry
+    cols: np.ndarray  # (K, N) int32
+    slots: np.ndarray  # (nl*nl*E,) int32 flat k-major index into (K*N)
+    diag_k: np.ndarray  # (N,) int32: k position of the diagonal in each row
     nl: int  # local dofs per element
 
     @property
     def K(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
+
+    @property
+    def n_flat(self) -> int:
+        return self.n_rows * self.block
 
 
 def build_pattern(elem_dofs: np.ndarray, n_rows: int, block: int) -> Pattern:
-    """elem_dofs: (E, nl) int. Builds the ELL pattern + assembly scatter map."""
+    """elem_dofs: (E, nl) int. Builds the ELL pattern + assembly scatter map.
+
+    The scatter map is ordered (i, j, e) with e minor-most, matching element
+    matrices laid out (C, C, nl, nl, E)."""
     E, nl = elem_dofs.shape
-    rows = np.repeat(elem_dofs, nl, axis=1).ravel().astype(np.int64)  # (E*nl*nl,)
-    cols = np.tile(elem_dofs, (1, nl)).ravel().astype(np.int64)
+    # entry (i, j, e): row = dofs[e,i], col = dofs[e,j]; e minor
+    rows = elem_dofs.T[:, None, :].repeat(nl, 1).ravel().astype(np.int64)  # (nl,nl,E)
+    cols = elem_dofs.T[None, :, :].repeat(nl, 0).ravel().astype(np.int64)
     key = rows * n_rows + cols
     uniq = np.unique(key)
-    # also ensure the diagonal exists in every row (isolated rows)
     diag_keys = np.arange(n_rows, dtype=np.int64) * n_rows + np.arange(n_rows)
     uniq = np.unique(np.concatenate([uniq, diag_keys]))
     urow = uniq // n_rows
-    # position within row
     row_start = np.searchsorted(urow, np.arange(n_rows))
     pos_in_row = np.arange(len(uniq)) - row_start[urow]
     counts = np.bincount(urow, minlength=n_rows)
     K = int(counts.max())
-    cols_pad = np.tile(np.arange(n_rows, dtype=np.int64)[:, None], (1, K))
-    cols_pad[urow, pos_in_row] = uniq % n_rows
-    # flat slot of each unique entry
-    uslot = urow * K + pos_in_row
-    # map each element entry to its unique slot
+    cols_pad = np.tile(np.arange(n_rows, dtype=np.int64)[None, :], (K, 1))  # (K, N)
+    cols_pad[pos_in_row, urow] = uniq % n_rows
+    uslot = pos_in_row * n_rows + urow  # k-major flat slot
     idx = np.searchsorted(uniq, key)
     slots = uslot[idx]
     dpos = np.searchsorted(uniq, diag_keys)
-    diag_slot = uslot[dpos]
+    diag_k = pos_in_row[dpos]
     return Pattern(
         n_rows=n_rows,
         block=block,
         cols=cols_pad.astype(np.int32),
         slots=slots.astype(np.int32),
-        diag_slot=diag_slot.astype(np.int32),
+        diag_k=diag_k.astype(np.int32),
         nl=nl,
     )
 
 
-@partial(jax.jit, static_argnames=("n_rows", "K", "block"))
-def _scatter_vals(elem_mats_flat, slots, n_rows, K, block):
-    return jax.ops.segment_sum(
-        elem_mats_flat, slots, num_segments=n_rows * K
-    ).reshape(n_rows, K, block, block)
-
-
 def assemble_values(pat: Pattern, elem_mats: jnp.ndarray) -> jnp.ndarray:
-    """elem_mats: (E, nl, C, nl, C) -> vals (N, K, C, C).
+    """elem_mats: (C, C, nl, nl, E) -> vals (C, C, K, N).
 
-    The element matrix convention: ``elem_mats[e, i, c, j, d]`` couples test
-    dof (i, c) with trial dof (j, d).
-    """
+    Convention: ``elem_mats[c, d, i, j, e]`` couples test dof (i, c) with
+    trial dof (j, d) of element e."""
     C = pat.block
-    flat = jnp.transpose(elem_mats, (0, 1, 3, 2, 4)).reshape(-1, C, C)
+    E = elem_mats.shape[-1]
+    flat = elem_mats.reshape(C * C, pat.nl * pat.nl * E)
     slots = jnp.asarray(pat.slots)
-    return _scatter_vals(flat, slots, pat.n_rows, pat.K, C)
+
+    def seg(v):
+        return jax.ops.segment_sum(v, slots, num_segments=pat.n_rows * pat.K)
+
+    out = jax.vmap(seg)(flat)  # (C*C, K*N), k-major
+    return out.reshape(C, C, pat.K, pat.n_rows)
 
 
 def bake_dirichlet(pat: Pattern, vals: jnp.ndarray, fixed: jnp.ndarray) -> jnp.ndarray:
     """Impose homogeneous Dirichlet rows/cols symmetrically.
 
-    fixed: (N, C) bool.  Zeroes constrained rows and columns and puts 1 on the
-    diagonal, mirroring DirichletBoundary + adjust_solution in the reference
-    (2d_admm.lua:240-258, 476).
-    """
-    cols = jnp.asarray(pat.cols)
-    row_fix = fixed[:, None, :, None]  # (N,1,C,1)
-    col_fix = fixed[cols][:, :, None, :]  # (N,K,1,C)
+    fixed: (C, N) bool.  Zeroes constrained rows and columns and puts 1 on
+    the diagonal, mirroring DirichletBoundary + adjust_solution in the
+    reference (2d_admm.lua:240-258, 476)."""
+    C, _, K, N = vals.shape
+    cols = jnp.asarray(pat.cols)  # (K, N)
+    row_fix = fixed[:, None, None, :]  # (C,1,1,N) test component c fixed
+    col_fix = fixed[:, cols][None, :, :, :]  # (1,C,K,N) trial component d fixed
     vals = jnp.where(row_fix | col_fix, 0.0, vals)
-    # unit diagonal at fixed dofs
-    N, K, C, _ = vals.shape
-    dr = jnp.asarray(pat.diag_slot) // K
-    dk = jnp.asarray(pat.diag_slot) % K
-    eye = jnp.eye(C, dtype=vals.dtype)
-    sel = fixed[:, :, None] | fixed[:, None, :]
-    new_diag = jnp.where(sel, eye[None], vals[dr, dk])
-    vals = vals.at[dr, dk].set(new_diag)
+    # unit diagonal at fixed dofs: vals[c, c, diag_k[n], n] = 1
+    diag_k = jnp.asarray(pat.diag_k)  # (N,)
+    onehot_k = diag_k[None, :] == jnp.arange(K)[:, None]  # (K, N)
+    eye = jnp.eye(C, dtype=vals.dtype)[:, :, None, None]  # (C,C,1,1)
+    fix_cd = (fixed[:, None, :] | fixed[None, :, :])[:, :, None, :]  # (C,C,1,N)
+    vals = jnp.where(onehot_k[None, None] & fix_cd, eye, vals)
     return vals
 
 
+def spmv_cn(pat: Pattern, vals: jnp.ndarray, x_cn: jnp.ndarray) -> jnp.ndarray:
+    """y (C,N) = A @ x with x (C,N)."""
+    cols = jnp.asarray(pat.cols)  # (K, N)
+    xg = x_cn[:, cols]  # (C, K, N)
+    return jnp.einsum("cdkn,dkn->cn", vals, xg)
+
+
+def spmv_flat(pat: Pattern, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y (C*N,) = A @ x (C*N,), component-major flat layout."""
+    C, N = pat.block, pat.n_rows
+    return spmv_cn(pat, vals, x.reshape(C, N)).reshape(-1)
+
+
 def spmv(pat: Pattern, vals: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
-    """y (N,C) = A @ x (N,C)."""
-    cols = jnp.asarray(pat.cols)
-    xg = x[cols]  # (N, K, C)
-    return jnp.einsum("nkcd,nkd->nc", vals, xg)
+    """Compatibility wrapper: x (N, C) -> y (N, C)."""
+    return spmv_cn(pat, vals, x.T).T
 
 
-def diag_blocks(pat: Pattern, vals: jnp.ndarray) -> jnp.ndarray:
-    """(N, C, C) diagonal blocks."""
-    K = pat.K
-    dr = jnp.asarray(pat.diag_slot) // K
-    dk = jnp.asarray(pat.diag_slot) % K
-    return vals[dr, dk]
-
-
-def diag(pat: Pattern, vals: jnp.ndarray) -> jnp.ndarray:
-    """(N, C) scalar diagonal."""
-    db = diag_blocks(pat, vals)
-    return jnp.diagonal(db, axis1=-2, axis2=-1)
+def diag_cn(pat: Pattern, vals: jnp.ndarray) -> jnp.ndarray:
+    """(C, N) scalar diagonal."""
+    C, _, K, N = vals.shape
+    diag_k = jnp.asarray(pat.diag_k)
+    onehot_k = (diag_k[None, :] == jnp.arange(K)[:, None]).astype(vals.dtype)
+    dblocks = jnp.einsum("cdkn,kn->cdn", vals, onehot_k)  # (C,C,N)
+    return dblocks[jnp.arange(C), jnp.arange(C), :]  # (C, N)
 
 
 def to_dense(pat: Pattern, vals: jnp.ndarray) -> jnp.ndarray:
-    """Densify (for the coarse-level direct solve; replaces SuperLU,
-    obstacle_optim_util.lua:22)."""
-    N, K, C, _ = vals.shape
+    """Densify to (C*N, C*N) in component-major flat ordering (for the
+    coarse-level direct solve; replaces SuperLU, obstacle_optim_util.lua:22).
+    """
+    C, _, K, N = vals.shape
     cols = jnp.asarray(pat.cols)
-    dense = jnp.zeros((N, C, N, C), dtype=vals.dtype)
+    dense = jnp.zeros((C, N, C, N), dtype=vals.dtype)
+    rows = jnp.arange(N)
     for k in range(K):
-        dense = dense.at[jnp.arange(N), :, cols[:, k], :].add(vals[:, k])
-    return dense.reshape(N * C, N * C)
+        # dense[c, n, d, cols[k,n]] += vals[c,d,k,n]
+        dense = dense.at[:, rows, :, cols[k]].add(
+            jnp.moveaxis(vals[:, :, k, :], -1, 0)  # (N, C, C)
+        )
+    return dense.reshape(C * N, C * N)
+
+
+# ---- field layout helpers -------------------------------------------------
+
+def to_flat(u_vc: jnp.ndarray) -> jnp.ndarray:
+    """(V, C) field -> flat component-major (C*V,)."""
+    return u_vc.T.reshape(-1)
+
+
+def from_flat(x: jnp.ndarray, n_rows: int) -> jnp.ndarray:
+    """flat (C*V,) -> (V, C)."""
+    return x.reshape(-1, n_rows).T

@@ -1,0 +1,335 @@
+"""The ADMM inner solver: x-update Newton with Schur-complement constraint
+handling, z-update prox, dual ascent, and the sigma/scaling adaptation -
+all as one jitted ``lax.while_loop`` nest.
+
+Reference parity map (2d_admm.lua):
+ * ADMM loop            -> admm_inner (2d:868-1253)
+ * z-update + projection-> ops.deformation.z_update (2d:883-905)
+ * x-update Newton      -> newton_xupdate (2d:926-1171): per iteration
+     - L_u = A u + r_lin + Lambda^T dg/du;   H = A + Lambda^T d2g/du2
+     - solve H*st = L_u                       (2d:951-960   "A.sigma=(-Lu)")
+     - B_i = dg_i/du; t_i = H^-1 B_i          (2d:983-1019, batched here)
+     - S_ij = B_i . t_j ;  DLambda = S^-1 (g - B^T st)   (2d:1021-1031)
+     - Du = -st - sum_j DLambda_j t_j
+       (algebraically identical to the reference's extra "large problem"
+        GMG solve 2d:1040-1054 - we reuse the t_j instead; one fewer
+        multigrid solve per Newton iteration)
+     - convergence on |DLambda| / abs / rel defect norms (2d:1163-1169)
+ * dual ascent          -> ops.deformation.dual_update (2d:1181-1185)
+ * convergence + "fake convergence" scaling*=2 restart (2d:1226-1250)
+
+The constant SPD operator A = a(.,.) + tau*(grad ., grad .) is assembled once
+per geometry into a GMG hierarchy; Newton's Hessian adds the (low-rank-ish)
+Lambda^T g'' term matrix-free via AD, so the V-cycle on A stays a uniformly
+good preconditioner.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import deformation as dfm
+from ..ops import sparsity
+from ..solvers import krylov, mg
+
+
+@dataclasses.dataclass(frozen=True)
+class ADMMConfig:
+    """Knobs, named after the reference CLI flags (2d_admm.lua:43-87)."""
+
+    admm_steps: int = 100  # -admmSteps
+    admm_tolerance: float = 1e-2  # -admm_tolerance
+    admm_gradient_tolerance: float = 0.05  # -admm_gradient_tolerance
+    tau: float = 1.0  # -tau
+    sigma_threshold: float = 0.3  # -sigma_threshold
+    scaling: float = 1.0  # -scaling
+    step_length: float = 1.0  # -step_length
+    norm_name: str = "frobenius"  # -normName
+    ns_max_its: int = 10  # -nsMaxIts (x-update Newton)
+    ns_tol: float = 1e-9  # -nsTol (on |DeltaLambda|)
+    ns_abs_tol: float = 1e-12  # -nsAbsLuTol / -nsAbsLlambdaTol
+    ns_rel_tol: float = 1e-12  # -nsRelLuTol / -nsRelLlambdaTol
+    lin_max_iters: int = 200
+    lin_abs_tol: float = 1e-12
+    lin_rel_tol: float = 1e-10
+    c_eps: float = 1.0  # extension operator eps(u):eps(w) weight
+    c_mass: float = 1.0  # extension operator u.w weight
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class ADMMState:
+    """Carried state of the jitted ADMM loop."""
+
+    u: jnp.ndarray  # (V, d) deformation iterate
+    u_old: jnp.ndarray  # previous ADMM iterate (for u_diff / max-norm)
+    lam: jnp.ndarray  # (E, d, d) piecewise-constant dual tensor
+    q_proj: jnp.ndarray  # (E, d, d) projected gradient copy
+    Lambda: jnp.ndarray  # (m,) geometric-constraint multipliers
+    scaling: jnp.ndarray  # J' scaling (adapted on fake convergence)
+    admm_it: jnp.ndarray  # ADMM iteration counter
+    total_newton: jnp.ndarray  # accumulated Newton iterations
+    total_lin_iters: jnp.ndarray  # accumulated Krylov iterations
+    converged: jnp.ndarray  # bool
+    failed: jnp.ndarray  # bool (solver failure / max steps)
+    u_diff_norm: jnp.ndarray
+    lam_inc_norm: jnp.ndarray
+    max_grad_norm: jnp.ndarray
+
+    def tree_flatten(self):
+        return (
+            (
+                self.u,
+                self.u_old,
+                self.lam,
+                self.q_proj,
+                self.Lambda,
+                self.scaling,
+                self.admm_it,
+                self.total_newton,
+                self.total_lin_iters,
+                self.converged,
+                self.failed,
+                self.u_diff_norm,
+                self.lam_inc_norm,
+                self.max_grad_norm,
+            ),
+            None,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def initial_state(n_vertices, n_elems, dim, m, scaling, dtype=jnp.float64):
+    z = lambda *s: jnp.zeros(s, dtype=dtype)
+    return ADMMState(
+        u=z(dim, n_vertices),
+        u_old=z(dim, n_vertices),
+        lam=z(dim, dim, n_elems),
+        q_proj=z(dim, dim, n_elems),
+        Lambda=z(m),
+        scaling=jnp.asarray(scaling, dtype),
+        admm_it=jnp.array(0, jnp.int32),
+        total_newton=jnp.array(0, jnp.int32),
+        total_lin_iters=jnp.array(0, jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+        u_diff_norm=jnp.asarray(jnp.inf, dtype),
+        lam_inc_norm=jnp.asarray(jnp.inf, dtype),
+        max_grad_norm=jnp.asarray(0.0, dtype),
+    )
+
+
+def l2_norm_p1(coords, elems, f):
+    """sqrt(int |f|^2) for a P1 field f (C, V), exact via the element mass."""
+    d = coords.shape[1]
+    from ..ops.geometry import elem_geometry
+
+    _, _, _, vol = elem_geometry(coords, elems)
+    fe = f[:, elems.T]  # (C, nl, E)
+    nl = d + 1
+    mfac = ((jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))).astype(f.dtype)
+    val = jnp.einsum("e,ij,cie,cje->", vol, mfac, fe, fe)
+    return jnp.sqrt(jnp.maximum(val, 0.0))
+
+
+def l2_norm_pc(coords, elems, T):
+    """sqrt(int |T|^2) for a piecewise-constant tensor field (d, d, E)."""
+    from ..ops.geometry import elem_geometry
+
+    _, _, _, vol = elem_geometry(coords, elems)
+    return jnp.sqrt(jnp.maximum(jnp.einsum("e,cde,cde->", vol, T, T), 0.0))
+
+
+def newton_xupdate(
+    cfg: ADMMConfig,
+    struct: mg.MGStructure,
+    mgdata: mg.MGData,
+    coords,
+    elems,
+    free,  # (V, d) float mask
+    Jp_base,  # (V, d) unscaled shape gradient (obstacle-masked)
+    scaling,
+    lam,
+    q_proj,
+    ref_volume,
+    ref_barycenter,
+    u0,
+    Lambda0,
+):
+    """Constrained Newton (KKT via dense m x m Schur complement).
+
+    Fields: u, Jp_base, free are (C, V); lam/q_proj are (d, d, E).
+    Returns (u, Lambda, newton_iters, lin_iters, failed)."""
+    pat = struct.patterns[-1]
+    vals = mgdata.vals[-1]
+    M_flat = mg.make_preconditioner(struct, mgdata)
+    M = lambda r: M_flat(r.reshape(-1)).reshape(r.shape)
+    m = Lambda0.shape[0]
+
+    r_lin = (scaling * Jp_base + dfm.tensor_rhs(coords, elems, lam - cfg.tau * q_proj)) * free
+
+    def Aop(x):
+        return sparsity.spmv_cn(pat, vals, x)
+
+    def hess_apply(u, Lambda, x):
+        hx = Aop(x) + dfm.constraint_hvp(
+            coords, elems, u, Lambda, ref_volume, ref_barycenter, x * free
+        ) * free
+        return hx
+
+    def solve_h(u, Lambda, rhs_batch):
+        """Batched SPD-ish solves H x = b for (k, V, d) right-hand sides."""
+
+        def one(b):
+            res = krylov.bicgstab(
+                lambda x: hess_apply(u, Lambda, x),
+                b,
+                M=M,
+                max_iters=cfg.lin_max_iters,
+                abs_tol=cfg.lin_abs_tol,
+                rel_tol=cfg.lin_rel_tol,
+            )
+            return res.x, res.iters, res.converged
+
+        xs, its, convs = jax.vmap(one)(rhs_batch)
+        return xs, jnp.sum(its).astype(jnp.int32), jnp.all(convs)
+
+    def cond(state):
+        u, Lambda, it, lin, done, failed, dlam_norm = state
+        return (~done) & (~failed) & (it < cfg.ns_max_its)
+
+    def body(state):
+        u, Lambda, it, lin, done, failed, _ = state
+        g = dfm.constraints(coords, elems, u, ref_volume, ref_barycenter)
+        B = dfm.constraint_grads(coords, elems, u, ref_volume, ref_barycenter, free)
+        Lu = (Aop(u) + r_lin + jnp.einsum("m,mcv->cv", Lambda, B)) * free
+
+        rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, C, V)
+        sols, nlin, ok = solve_h(u, Lambda, rhs)
+        st, t = sols[0], sols[1:]  # st = H^-1 Lu ; t_i = H^-1 B_i
+
+        S = jnp.einsum("mcv,ncv->mn", B, t)  # S_ij = B_i . H^-1 B_j
+        rhs_s = g - jnp.einsum("mcv,cv->m", B, st)
+        dLambda = jnp.linalg.solve(S, rhs_s)
+        du = -st - jnp.einsum("m,mcv->cv", dLambda, t)
+
+        u_new = (u + du) * free
+        Lambda_new = Lambda + dLambda
+
+        # convergence (reference 2d:1163-1169): increment / abs / rel norms
+        dlam_norm = jnp.sqrt(jnp.vdot(dLambda, dLambda))
+        lu_norm = l2_norm_p1(coords, elems, Lu)
+        g_norm = jnp.sqrt(jnp.vdot(g, g))
+        done = (
+            (dlam_norm <= cfg.ns_tol)
+            | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_tol))
+        )
+        failed = ~ok
+        return (u_new, Lambda_new, it + 1, lin + nlin, done, failed, dlam_norm)
+
+    init = (
+        u0,
+        Lambda0,
+        jnp.array(0, jnp.int32),
+        jnp.array(0, jnp.int32),
+        jnp.array(False),
+        jnp.array(False),
+        jnp.asarray(jnp.inf, u0.dtype),
+    )
+    u, Lambda, it, lin, done, failed, _ = jax.lax.while_loop(cond, body, init)
+    # not converging within ns_max_its counts as failure (reference 2d:1084-1090)
+    failed = failed | (~done)
+    return u, Lambda, it, lin, failed
+
+
+def admm_inner(
+    cfg: ADMMConfig,
+    struct: mg.MGStructure,
+    mgdata: mg.MGData,
+    coords,
+    elems,
+    free,
+    Jp_base,
+    sigma_threshold,
+    scaling0,
+    ref_volume,
+    ref_barycenter,
+):
+    """Full ADMM loop for one optimization step (jit-compatible).
+
+    Returns the final ADMMState; .converged / .failed drive the outer
+    step-size control (reference 2d:1226-1280)."""
+    m = 1 + coords.shape[1]
+    state = initial_state(
+        coords.shape[0], elems.shape[0], coords.shape[1], m, scaling0, coords.dtype
+    )
+
+    def cond(st: ADMMState):
+        return (~st.converged) & (~st.failed) & (st.admm_it < cfg.admm_steps)
+
+    def body(st: ADMMState):
+        # ---- z-update + projection (2d:883-905) --------------------------
+        q_proj = dfm.z_update(
+            coords, elems, st.u, st.lam, cfg.tau, sigma_threshold, cfg.norm_name
+        )
+        max_norm = (
+            dfm.max_spectral_norm(coords, elems, st.u_old)
+            if cfg.norm_name == "spectral"
+            else dfm.max_frobenius_norm(coords, elems, st.u_old)
+        )
+
+        # ---- x-update (2d:926-1171) --------------------------------------
+        u, Lambda, nit, nlin, x_failed = newton_xupdate(
+            cfg, struct, mgdata, coords, elems, free, Jp_base,
+            st.scaling, st.lam, q_proj, ref_volume, ref_barycenter,
+            st.u, jnp.zeros_like(st.Lambda),
+        )
+
+        # ---- dual ascent (2d:1181-1185) ------------------------------------
+        lam, lam_inc = dfm.dual_update(coords, elems, u, st.lam, q_proj, cfg.tau)
+
+        u_diff_norm = l2_norm_p1(coords, elems, u - st.u_old)
+        lam_inc_norm = l2_norm_pc(coords, elems, lam_inc)
+
+        # ---- convergence logic (2d:1226-1250) ------------------------------
+        base_conv = (
+            (lam_inc_norm < cfg.admm_tolerance)
+            & (u_diff_norm < cfg.admm_tolerance)
+            & (sigma_threshold - max_norm > -cfg.admm_gradient_tolerance * sigma_threshold)
+        )
+        fake = base_conv & (
+            sigma_threshold - max_norm > cfg.admm_gradient_tolerance * sigma_threshold
+        )
+        converged = base_conv & ~fake
+        # fake convergence: double the J' scaling and restart the ADMM
+        # counter, keeping u/lambda (reference 2d:1230-1243 only rescales J'
+        # and resets the step counter)
+        scaling = jnp.where(fake, st.scaling * 2.0, st.scaling)
+        admm_it = jnp.where(fake, 0, st.admm_it + 1)
+        failed = x_failed | (admm_it >= cfg.admm_steps)
+
+        return ADMMState(
+            u=u,
+            u_old=u,
+            lam=lam,
+            q_proj=q_proj,
+            Lambda=Lambda,
+            scaling=scaling,
+            admm_it=admm_it,
+            total_newton=st.total_newton + nit,
+            total_lin_iters=st.total_lin_iters + nlin,
+            converged=converged,
+            failed=failed,
+            u_diff_norm=u_diff_norm,
+            lam_inc_norm=lam_inc_norm,
+            max_grad_norm=max_norm,
+        )
+
+    return jax.lax.while_loop(cond, body, state)

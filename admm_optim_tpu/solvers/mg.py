@@ -16,9 +16,11 @@ refinement hierarchy with
  * **Dense coarse solve** via LU on level 0 replacing SuperLU
    (obstacle_optim_util.lua:22).
 
-Transfers exploit the hierarchy invariant (core.mesh): every fine vertex is
-the midpoint of a coarse edge or a coarse vertex with parents (v, v), so
-P1 prolongation is uniformly ``0.5*(x[p0] + x[p1])`` - one gather + add.
+All level vectors are FLAT component-major ``(C*N_l,)`` (see ops.sparsity
+layout notes).  Transfers exploit the hierarchy invariant (core.mesh):
+every fine vertex is the midpoint of a coarse edge or a coarse vertex with
+parents (v, v), so P1 prolongation is uniformly ``0.5*(x[p0] + x[p1])`` -
+one gather + add along the minor axis.
 """
 from __future__ import annotations
 
@@ -27,28 +29,33 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import sparsity
 from ..ops.sparsity import Pattern
 
 
-def prolong(parents: jnp.ndarray, xc: jnp.ndarray) -> jnp.ndarray:
-    """(Vc, C) -> (Vf, C) with parents (Vf, 2) into the coarse level."""
-    return 0.5 * (xc[parents[:, 0]] + xc[parents[:, 1]])
+def prolong(parents: jnp.ndarray, xc: jnp.ndarray, C: int) -> jnp.ndarray:
+    """flat (C*Vc,) -> (C*Vf,) with parents (Vf, 2) into the coarse level."""
+    Xc = xc.reshape(C, -1)
+    Xf = 0.5 * (Xc[:, parents[:, 0]] + Xc[:, parents[:, 1]])
+    return Xf.reshape(-1)
 
 
-def restrict(parents: jnp.ndarray, xf: jnp.ndarray, n_coarse: int) -> jnp.ndarray:
-    """Transpose of prolong: (Vf, C) -> (Vc, C)."""
-    h = 0.5 * xf
-    out = jax.ops.segment_sum(h, parents[:, 0], num_segments=n_coarse)
-    return out + jax.ops.segment_sum(h, parents[:, 1], num_segments=n_coarse)
+def restrict(parents: jnp.ndarray, xf: jnp.ndarray, n_coarse: int, C: int) -> jnp.ndarray:
+    """Transpose of prolong: flat (C*Vf,) -> (C*Vc,)."""
+    Xf = 0.5 * xf.reshape(C, -1)
+
+    def seg(v):
+        return jax.ops.segment_sum(v, parents[:, 0], num_segments=n_coarse) + (
+            jax.ops.segment_sum(v, parents[:, 1], num_segments=n_coarse)
+        )
+
+    return jax.vmap(seg)(Xf).reshape(-1)
 
 
 @dataclasses.dataclass(frozen=True)
 class MGStructure:
-    """Static part: one Pattern per level (fine..coarse order irrelevant;
-    levels[0] is the COARSEST to match the mesh hierarchy)."""
+    """Static part: one Pattern per level; levels[0] is the COARSEST."""
 
     patterns: tuple[Pattern, ...]
     n_levels: int
@@ -62,9 +69,9 @@ class MGStructure:
 class MGData:
     """Dynamic part (device arrays); a pytree so it can be a jit argument."""
 
-    vals: list  # per level: (N,K,C,C)
-    diag: list  # per level: (N,C)
-    free: list  # per level: (N,C) float mask (0 at Dirichlet dofs)
+    vals: list  # per level: (C, C, K, N)
+    diag: list  # per level: flat (C*N,)
+    free: list  # per level: flat (C*N,) float mask (0 at Dirichlet dofs)
     parents: list  # per level l>=1: (V_l, 2) int32 into level l-1
     lmax: list  # per level: scalar Chebyshev upper bound
     base_lu: Any  # (lu, piv) factors of dense level-0 operator
@@ -82,43 +89,39 @@ class MGData:
 
 def estimate_lmax(pat: Pattern, vals, diag, iters: int = 15) -> jnp.ndarray:
     """Power iteration for lambda_max(D^-1 A); deterministic start vector."""
-    N, C = diag.shape
-    x = jnp.sin(jnp.arange(N * C, dtype=vals.dtype)).reshape(N, C) + 1.0
+    n = pat.n_flat
+    x = jnp.sin(jnp.arange(n, dtype=vals.dtype)) + 1.0
+    inv_d = 1.0 / jnp.maximum(diag, 1e-30)
 
     def body(i, x):
-        y = sparsity.spmv(pat, vals, x) / jnp.maximum(diag, 1e-300)
-        return y / jnp.maximum(jnp.sqrt(jnp.vdot(y, y)), 1e-300)
+        y = inv_d * sparsity.spmv_flat(pat, vals, x)
+        return y / jnp.maximum(jnp.sqrt(jnp.vdot(y, y)), 1e-30)
 
     x = jax.lax.fori_loop(0, iters, body, x / jnp.sqrt(jnp.vdot(x, x)))
-    y = sparsity.spmv(pat, vals, x) / jnp.maximum(diag, 1e-300)
+    y = inv_d * sparsity.spmv_flat(pat, vals, x)
     return jnp.vdot(x, y) / jnp.vdot(x, x) * 1.1  # 10% safety margin
 
 
-def chebyshev_smooth(
-    pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: float
-):
+def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: float):
     """Chebyshev(degree) iteration for A x = b preconditioned by diag,
     targeting the interval [lower*lmax, lmax]."""
     lmin = lower * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
-    inv_d = 1.0 / jnp.maximum(diag, 1e-300)
+    inv_d = 1.0 / jnp.maximum(diag, 1e-30)
 
-    r = b - sparsity.spmv(pat, vals, x)
+    r = b - sparsity.spmv_flat(pat, vals, x)
     z = inv_d * r
-    alpha = 1.0 / theta
-    d_vec = alpha * z
+    d_vec = z / theta
     x = x + d_vec
     sigma_old = theta / delta if degree > 1 else 1.0
 
     def body(i, carry):
         x, d_vec, sigma_old = carry
-        r = b - sparsity.spmv(pat, vals, x)
+        r = b - sparsity.spmv_flat(pat, vals, x)
         z = inv_d * r
         sigma_new = 1.0 / (2.0 * theta / delta - sigma_old)
-        rho1 = 2.0 * sigma_new / delta
-        rho2 = sigma_new * sigma_old
-        d_vec = rho1 * z + rho2 * d_vec
+        d_vec = (2.0 * sigma_new / delta) * z + (sigma_new * sigma_old) * d_vec
         x = x + d_vec
         return (x, d_vec, sigma_new)
 
@@ -130,19 +133,19 @@ def chebyshev_smooth(
 def build_mg_data(
     struct: MGStructure,
     elem_mat_fn: Callable[[int], jnp.ndarray],
-    fixed_masks: list,
+    fixed_masks: list,  # per level (C, N) bool
     parents: list,
 ) -> MGData:
-    """Assemble all levels.  elem_mat_fn(level) -> (E, nl, C, nl, C)."""
+    """Assemble all levels.  elem_mat_fn(level) -> (C, C, nl, nl, E)."""
     vals_l, diag_l, free_l, lmax_l = [], [], [], []
     for l, pat in enumerate(struct.patterns):
         em = elem_mat_fn(l)
         vals = sparsity.assemble_values(pat, em)
         vals = sparsity.bake_dirichlet(pat, vals, fixed_masks[l])
-        d = sparsity.diag(pat, vals)
+        d = sparsity.diag_cn(pat, vals).reshape(-1)
         vals_l.append(vals)
         diag_l.append(d)
-        free_l.append(1.0 - fixed_masks[l].astype(vals.dtype))
+        free_l.append(1.0 - fixed_masks[l].astype(vals.dtype).reshape(-1))
         lmax_l.append(estimate_lmax(pat, vals, d))
     dense0 = sparsity.to_dense(struct.patterns[0], vals_l[0])
     base_lu = jax.scipy.linalg.lu_factor(dense0)
@@ -150,26 +153,23 @@ def build_mg_data(
 
 
 def vcycle(struct: MGStructure, data: MGData, b: jnp.ndarray, x0=None) -> jnp.ndarray:
-    """One V(pre,post)-cycle on the finest level; levels[0] is coarsest."""
+    """One V(pre,post)-cycle on the finest level; flat vectors throughout."""
     L = struct.n_levels - 1
+    C = struct.patterns[0].block
 
     def solve_level(l, b_l, x_l):
         pat = struct.patterns[l]
         if l == 0:
-            N, C = b_l.shape
-            y = jax.scipy.linalg.lu_solve(data.base_lu, b_l.reshape(-1))
-            return y.reshape(N, C)
+            return jax.scipy.linalg.lu_solve(data.base_lu, b_l)
         x_l = chebyshev_smooth(
             pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
             struct.pre_smooth, struct.cheb_lower,
         )
-        r = b_l - sparsity.spmv(pat, data.vals[l], x_l)
-        r = r * data.free[l]
-        rc = restrict(data.parents[l - 1], r, struct.patterns[l - 1].n_rows)
+        r = (b_l - sparsity.spmv_flat(pat, data.vals[l], x_l)) * data.free[l]
+        rc = restrict(data.parents[l - 1], r, struct.patterns[l - 1].n_rows, C)
         rc = rc * data.free[l - 1]
         ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
-        ef = prolong(data.parents[l - 1], ec) * data.free[l]
-        x_l = x_l + ef
+        x_l = x_l + prolong(data.parents[l - 1], ec, C) * data.free[l]
         x_l = chebyshev_smooth(
             pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
             struct.post_smooth, struct.cheb_lower,

@@ -24,11 +24,16 @@ from .krylov import SolveResult, gmres
 class NewtonConfig:
     max_iters: int = 50
     abs_tol: float = 1e-12
+    # acceptance threshold for the converged flag: the inner GMRES tolerance
+    # bounds the reachable Newton residual, so demanding abs_tol exactly
+    # causes spurious "diverged" verdicts at ~1e-8 (observed end-to-end);
+    # the reference's outer logic only needs "solved well".
+    accept_tol: float = 1e-7
     line_search_steps: int = 20
     line_search_reduce: float = 0.9
     lin_restart: int = 60
     lin_max_iters: int = 600
-    lin_rel_tol: float = 1e-4
+    lin_rel_tol: float = 1e-5
     lin_abs_tol: float = 1e-14
 
 
@@ -52,7 +57,11 @@ def newton_solve(space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonCo
             M=M,
             restart=cfg.lin_restart,
             max_iters=cfg.lin_max_iters,
-            abs_tol=cfg.lin_abs_tol,
+            # absolute floor tied to the Newton acceptance threshold: the
+            # linear residual caps the reachable nonlinear residual, so a
+            # purely relative inner tolerance stalls Newton one order above
+            # its target (observed end-to-end at ~rel_tol*|r_warmstart|)
+            abs_tol=max(cfg.lin_abs_tol, 0.1 * cfg.accept_tol),
             rel_tol=cfg.lin_rel_tol,
         )
         return res.x
@@ -88,7 +97,7 @@ def newton_solve(space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonCo
     s, it, nrm, stalled = jax.lax.while_loop(
         cond, bodyfn, (s0, jnp.array(0, jnp.int32), nrm0, jnp.array(False))
     )
-    return s, it, nrm, nrm <= jnp.maximum(cfg.abs_tol, nrm0 * 1e-10)
+    return s, it, nrm, nrm <= cfg.accept_tol
 
 
 def adjoint_solve(space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig()):

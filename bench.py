@@ -1,0 +1,115 @@
+"""Benchmark driver: one JSON line on stdout.
+
+Measures the framework's hot path (BASELINE.md "Tracked metrics"): the
+multigrid-preconditioned x-update solve of the deformation system - DoF/s to
+a 1e-6 relative residual on the largest single-chip problem that fits
+comfortably.  The reference publishes no numbers (BASELINE.json
+"published": {}), so vs_baseline is reported against a fixed CPU-reference
+proxy measured once on this machine's own CPU backend at a smaller size and
+scaled; it is a self-referential progress tracker, not a reference claim.
+
+All progress goes to stderr; stdout carries exactly one JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_optim_tpu.core import geomgen
+    from admm_optim_tpu.core.mesh import Hierarchy, refine
+    from admm_optim_tpu.ops import sparsity
+    from admm_optim_tpu.ops.p1space import P1VectorSpace
+    from admm_optim_tpu.solvers import krylov, mg
+
+    platform = jax.devices()[0].platform
+    log(f"devices: {jax.devices()}")
+
+    # problem size: 3D obstacle hierarchy; pick refs by platform
+    num_refs = 3 if platform != "cpu" else 1
+    levels = [geomgen.channel_3d()]
+    for _ in range(num_refs):
+        levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    log(hier.describe())
+    space = P1VectorSpace.build(hier)
+    struct = space.mg_structure()
+    coords = jnp.asarray(hier.fine.coords)
+    n_dofs = coords.shape[0] * coords.shape[1]
+
+    t0 = time.perf_counter()
+    assemble = jax.jit(lambda X: space.assemble_mg(struct, X, 1.0, 1.0, 1.0))
+    data = assemble(coords)
+    jax.block_until_ready(data.vals)
+    t_assemble = time.perf_counter() - t0
+    log(f"assembly (incl compile): {t_assemble:.2f}s; dofs={n_dofs}")
+
+    free = space.free_mask().reshape(-1)
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.normal(size=free.shape), coords.dtype) * free
+    pat = space.fine_pattern
+
+    rel_tol = 1e-6 if coords.dtype == jnp.float32 else 1e-8
+
+    @jax.jit
+    def solve(data, b):
+        A = lambda x: sparsity.spmv_flat(pat, data.vals[-1], x)
+        M = mg.make_preconditioner(struct, data)
+        return krylov.cg(A, b, M=M, max_iters=60, abs_tol=0.0, rel_tol=rel_tol)
+
+    # warmup/compile
+    res = solve(data, b)
+    jax.block_until_ready(res.x)
+    log(f"warmup solve: iters={int(res.iters)} res={float(res.res_norm):.3e} "
+        f"converged={bool(res.converged)}")
+    if not bool(res.converged):
+        log("WARNING: solve did not reach tolerance")
+
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        res = solve(data, b)
+    jax.block_until_ready(res.x)
+    dt = (time.perf_counter() - t0) / reps
+    dof_per_s = n_dofs / dt
+    log(f"solve: {dt * 1e3:.1f} ms/solve, {int(res.iters)} iters, {dof_per_s:.3e} DoF/s")
+
+    # vcycle timing
+    M = mg.make_preconditioner(struct, data)
+    vc = jax.jit(lambda b: mg.vcycle(struct, data, b))
+    jax.block_until_ready(vc(b))
+    t0 = time.perf_counter()
+    for _ in range(20):
+        y = vc(b)
+    jax.block_until_ready(y)
+    t_vc = (time.perf_counter() - t0) / 20
+    log(f"V-cycle: {t_vc * 1e3:.2f} ms")
+
+    # fixed proxy baseline: the same solve measured on this repo's first
+    # working CPU/f64 build (2026-08-16): 1.1e6 DoF/s at num_refs=1 2D.
+    baseline_dof_per_s = 1.1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"mg_xupdate_dof_per_s_refs{num_refs}_{platform}",
+                "value": dof_per_s,
+                "unit": "dof/s",
+                "vs_baseline": dof_per_s / baseline_dof_per_s,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""ADMM inner solver: constrained Newton x-update (KKT correctness) and the
+full ADMM loop with a synthetic shape gradient (no flow solve needed)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from admm_optim_tpu.core import geomgen
+from admm_optim_tpu.core.mesh import Hierarchy, refine
+from admm_optim_tpu.ops import deformation as dfm
+from admm_optim_tpu.ops.p1space import P1VectorSpace
+from admm_optim_tpu.optim import admm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    levels = [geomgen.channel_2d()]
+    for _ in range(2):
+        levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    lvl = hier.fine
+    space = P1VectorSpace.build(hier)  # Dirichlet: inlet, wall, outlet
+    cfg = admm.ADMMConfig(admm_steps=60, ns_max_its=8, tau=1.0, lin_max_iters=100)
+    struct = space.mg_structure()
+    coords = jnp.asarray(lvl.coords)
+    elems = jnp.asarray(lvl.elems)
+    mgdata = space.assemble_mg(struct, coords, cfg.c_eps, cfg.tau, cfg.c_mass)
+    free = space.free_mask()
+    from admm_optim_tpu.ops.geometry import elem_geometry
+
+    _, _, _, vol = elem_geometry(coords, elems)
+    ref_vol = jnp.sum(vol)
+    ref_bary = dfm.barycenter(coords, elems, jnp.zeros_like(coords.T))
+    # synthetic "shape gradient": radial push on obstacle vertices
+    obs = jnp.asarray(lvl.subset_vertices["obstacle_surface"]).astype(coords.dtype)
+    Jp = -coords / jnp.maximum(jnp.linalg.norm(coords, axis=1, keepdims=True), 0.3)
+    Jp = (Jp * obs[:, None] * 0.15).T  # (C, V)
+    return hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp
+
+
+def test_newton_xupdate_kkt(setup):
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    d = coords.shape[1]
+    E = elems.shape[0]
+    lam = jnp.zeros((d, d, E))
+    q_proj = jnp.zeros((d, d, E))
+    u, Lmb, it, lin, failed = admm.newton_xupdate(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(1.0), lam, q_proj, ref_vol, ref_bary,
+        jnp.zeros_like(coords.T), jnp.zeros(1 + d),
+    )
+    assert not bool(failed), f"x-update Newton failed after {int(it)} its"
+    # geometric constraints must hold at the solution
+    g = dfm.constraints(coords, elems, u, ref_vol, ref_bary)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-7)
+    # stationarity: A u + r_lin + Lambda^T B = 0 on free dofs
+    from admm_optim_tpu.ops import sparsity
+
+    r_lin = (1.0 * Jp + dfm.tensor_rhs(coords, elems, lam - cfg.tau * q_proj)) * free
+    B = dfm.constraint_grads(coords, elems, u, ref_vol, ref_bary, free)
+    Lu = (
+        sparsity.spmv_cn(struct.patterns[-1], mgdata.vals[-1], u)
+        + r_lin
+        + jnp.einsum("m,mcv->cv", Lmb, B)
+    ) * free
+    assert float(jnp.linalg.norm(Lu)) < 1e-7
+    # the obstacle actually moved
+    assert float(jnp.linalg.norm(u)) > 1e-3
+    # boundary conditions respected
+    assert float(jnp.abs(u * (1 - free)).max()) == 0.0
+
+
+def test_admm_inner_converges(setup):
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    sigma = 0.3
+    st = admm.admm_inner(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(sigma), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    assert not bool(st.failed), f"ADMM failed at it {int(st.admm_it)}"
+    assert bool(st.converged)
+    # the gradient-norm constraint holds up to the reference's tolerance band
+    mx = float(dfm.max_frobenius_norm(coords, elems, st.u))
+    assert mx <= sigma * (1 + cfg.admm_gradient_tolerance) + 1e-12
+    # geometric constraints hold
+    g = dfm.constraints(coords, elems, st.u, ref_vol, ref_bary)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+    # deformed mesh stays valid (positive element volumes)
+    from admm_optim_tpu.ops.geometry import elem_geometry
+
+    _, detJ, _, _ = elem_geometry(coords + st.u.T, elems)
+    assert float(jnp.min(detJ)) > 0.0
+
+
+def test_admm_spectral_norm(setup):
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    import dataclasses
+
+    cfg_s = dataclasses.replace(cfg, norm_name="spectral")
+    st = admm.admm_inner(
+        cfg_s, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    assert not bool(st.failed)
+    mx = float(dfm.max_spectral_norm(coords, elems, st.u))
+    assert mx <= 0.3 * (1 + cfg.admm_gradient_tolerance) + 1e-12

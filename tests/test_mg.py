@@ -31,11 +31,11 @@ def setup2d():
 def test_vcycle_reduces_residual(setup2d):
     hier, space, struct, data = setup2d
     rng = np.random.default_rng(0)
-    free = space.free_mask()
+    free = space.free_mask().reshape(-1)
     b = jnp.asarray(rng.normal(size=free.shape)) * free
     pat = space.fine_pattern
     x = mg.vcycle(struct, data, b)
-    r = b - sparsity.spmv(pat, data.vals[-1], x)
+    r = b - sparsity.spmv_flat(pat, data.vals[-1], x)
     rate = float(jnp.linalg.norm(r) / jnp.linalg.norm(b))
     assert rate < 0.2, f"single V-cycle contraction too weak: {rate}"
 
@@ -43,19 +43,19 @@ def test_vcycle_reduces_residual(setup2d):
 def test_mg_cg_matches_dense(setup2d):
     hier, space, struct, data = setup2d
     rng = np.random.default_rng(1)
-    free = space.free_mask()
+    free = space.free_mask().reshape(-1)
     b = jnp.asarray(rng.normal(size=free.shape)) * free
     pat = space.fine_pattern
 
-    A = lambda x: sparsity.spmv(pat, data.vals[-1], x)
+    A = lambda x: sparsity.spmv_flat(pat, data.vals[-1], x)
     M = mg.make_preconditioner(struct, data)
     res = krylov.cg(A, b, M=M, max_iters=60, abs_tol=1e-11)
     assert bool(res.converged)
     assert int(res.iters) < 25, f"MG-CG took {int(res.iters)} iterations"
 
     dense = np.asarray(sparsity.to_dense(pat, data.vals[-1]))
-    x_ref = np.linalg.solve(dense, np.asarray(b).ravel())
-    np.testing.assert_allclose(np.asarray(res.x).ravel(), x_ref, rtol=1e-6, atol=1e-9)
+    x_ref = np.linalg.solve(dense, np.asarray(b))
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-9)
 
 
 def test_mg_iterations_mesh_independent():
@@ -67,11 +67,11 @@ def test_mg_iterations_mesh_independent():
         struct = space.mg_structure()
         coords = jnp.asarray(hier.fine.coords)
         data = space.assemble_mg(struct, coords, 1.0, 1.0, 1.0)
-        free = space.free_mask()
+        free = space.free_mask().reshape(-1)
         rng = np.random.default_rng(2)
         b = jnp.asarray(rng.normal(size=free.shape)) * free
         pat = space.fine_pattern
-        A = lambda x: sparsity.spmv(pat, data.vals[-1], x)
+        A = lambda x: sparsity.spmv_flat(pat, data.vals[-1], x)
         res = krylov.cg(A, b, M=mg.make_preconditioner(struct, data), max_iters=100, abs_tol=1e-10)
         assert bool(res.converged)
         its.append(int(res.iters))
@@ -81,10 +81,10 @@ def test_mg_iterations_mesh_independent():
 def test_bicgstab_with_mg(setup2d):
     hier, space, struct, data = setup2d
     rng = np.random.default_rng(3)
-    free = space.free_mask()
+    free = space.free_mask().reshape(-1)
     b = jnp.asarray(rng.normal(size=free.shape)) * free
     pat = space.fine_pattern
-    A = lambda x: sparsity.spmv(pat, data.vals[-1], x)
+    A = lambda x: sparsity.spmv_flat(pat, data.vals[-1], x)
     res = krylov.bicgstab(A, b, M=mg.make_preconditioner(struct, data), max_iters=60, abs_tol=1e-11)
     assert bool(res.converged)
     assert int(res.iters) < 20

@@ -35,31 +35,34 @@ def test_residual_bc_rows(setup):
     _, lvl, space, coords = setup
     s = _initial_state(space, coords)
     r = nsops.ns_residual(space, coords, s, VISC)
-    rv, _ = space.unpack(r)
+    rv, _ = space.unpack(r)  # (d, n_vel)
     # Dirichlet rows of the initial state (v=g there) must vanish
     fixed = np.asarray(space.vel_fixed)
-    np.testing.assert_allclose(np.asarray(rv)[fixed], 0.0, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(rv)[:, fixed], 0.0, atol=1e-14)
 
 
 def test_newton_converges_and_drag_positive(setup):
     _, lvl, space, coords = setup
     s0 = _initial_state(space, coords)
-    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC)
+    # tight config: the acceptance threshold steers the inner GMRES floor
+    cfg = ns_solver.NewtonConfig(accept_tol=1e-11, lin_rel_tol=1e-6)
+    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC, cfg=cfg)
     assert bool(conv), f"Newton failed: iters={int(it)} nrm={float(nrm)}"
     assert float(nrm) < 1e-10
     J = float(nsops.drag(space, coords, s, VISC))
     assert J > 0.0
     # velocity at obstacle surface must be zero, inlet must carry profile
-    v, p = space.unpack(s)
+    v, p = space.unpack(s)  # v (d, n_vel)
     obs = np.asarray(space.vel_fixed) & ~np.asarray(space.inlet)
-    assert np.abs(np.asarray(v)[obs]).max() < 1e-14
-    assert float(jnp.max(v[:, 0])) > 0.5  # flow actually moves
+    assert np.abs(np.asarray(v)[:, obs]).max() < 1e-14
+    assert float(jnp.max(v[0, :])) > 0.5  # flow actually moves
 
 
 def test_adjoint_and_shape_gradient_match_fd(setup):
     hier, lvl, space, coords = setup
     s0 = _initial_state(space, coords)
-    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC)
+    tight = ns_solver.NewtonConfig(accept_tol=1e-11, lin_rel_tol=1e-6)
+    s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC, cfg=tight)
     assert bool(conv)
     lam, res = ns_solver.adjoint_solve(space, coords, s, VISC)
     assert float(res) < 1e-9
@@ -75,7 +78,7 @@ def test_adjoint_and_shape_gradient_match_fd(setup):
 
     def reduced(eps):
         Xp = coords + eps * dX
-        sp, _, nr, cv = ns_solver.newton_solve(space, Xp, s, VISC)
+        sp, _, nr, cv = ns_solver.newton_solve(space, Xp, s, VISC, cfg=tight)
         assert float(nr) < 1e-10
         return float(nsops.drag(space, Xp, sp, VISC))
 
