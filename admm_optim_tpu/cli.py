@@ -51,8 +51,14 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    import os as _os
+
     import jax
 
+    _cache = _os.path.expanduser("~/.cache/jax_admm")
+    _os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.x64:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)

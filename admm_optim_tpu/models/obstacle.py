@@ -60,6 +60,17 @@ class ProblemConfig:
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
 
 
+def _continuation_ladder(visc: float, start: float = 0.16):
+    """Geometric viscosity ladder start -> visc (empty tail if visc >= start)."""
+    nus = []
+    nu = start
+    while nu > visc * 1.0001:
+        nus.append(nu)
+        nu *= 0.5
+    nus.append(visc)
+    return nus
+
+
 @dataclasses.dataclass
 class StepRecord:
     step: int
@@ -102,6 +113,22 @@ class ObstacleShapeOpt:
         )
         self.elems = jnp.asarray(lvl.elems)
         self.free = self.def_space.free_mask()
+        # NS preconditioner space: nu-weighted vector-Laplacian GMG on the
+        # P1 space whose vertices coincide with the P2 velocity dofs
+        # (once-refined hierarchy; see ns_solver.ns_gmg_precond_data)
+        ns_dir = ("inlet", "wall", "obstacle_surface") + (
+            () if cfg.do_nothing else ("outlet",)
+        )
+        if cfg.vorder == 2:
+            ext = Hierarchy(hier.levels + [refine(lvl)])
+            self.pre_space = P1VectorSpace.build(ext, dirichlet=ns_dir)
+        else:
+            self.pre_space = P1VectorSpace.build(hier, dirichlet=ns_dir)
+        # jacobi smoothing: the convection-diffusion operator is nonsymmetric
+        self.pre_struct = dataclasses.replace(
+            self.pre_space.mg_structure(pre_smooth=2, post_smooth=2),
+            smoother="jacobi",
+        )
         self.obstacle_vmask = jnp.asarray(
             lvl.subset_vertices["obstacle_surface"]
         ).astype(jnp.asarray(lvl.coords).dtype)
@@ -112,15 +139,38 @@ class ObstacleShapeOpt:
 
         # jitted pipeline pieces (static self via closure; arrays traced)
         a = cfg.admm
-        self._assemble = jax.jit(
-            lambda X: self.def_space.assemble_mg(self.struct, X, a.c_eps, a.tau, a.c_mass)
+        # per-level compile-cached assembly (monolithic jit compiles too slow)
+        self._assemble = lambda X: self.def_space.assemble_mg(
+            self.struct, X, a.c_eps, a.tau, a.c_mass
         )
-        self._ns_solve = jax.jit(
-            lambda X, s0: ns_solver.newton_solve(self.ns_space, X, s0, cfg.visc, cfg.stab, cfg.ns)
+        p2iso = cfg.vorder == 2
+        self._ns_pre = lambda X, s=None, adjoint=False: ns_solver.ns_gmg_precond_data(
+            self.ns_space, self.pre_space, self.pre_struct, X, cfg.visc,
+            s=s, p2_iso=p2iso, adjoint=adjoint,
         )
-        self._adjoint = jax.jit(
-            lambda X, s: ns_solver.adjoint_solve(self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns)
+        self._ns_solve_pre = jax.jit(
+            lambda X, s0, pre_data, pdiag, visc: ns_solver.newton_solve(
+                self.ns_space, X, s0, visc, cfg.stab, cfg.ns,
+                M=ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag),
+            )
         )
+        self._adjoint_pre = jax.jit(
+            lambda X, s, pre_data, pdiag: ns_solver.adjoint_solve(
+                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns,
+                M=ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag),
+            )
+        )
+
+        def _ns_solve(X, s0, visc=None):
+            pre_data, pdiag = self._ns_pre(X, s=s0)
+            return self._ns_solve_pre(X, s0, pre_data, pdiag, cfg.visc if visc is None else visc)
+
+        def _adjoint(X, s):
+            pre_data, pdiag = self._ns_pre(X, s=s, adjoint=True)
+            return self._adjoint_pre(X, s, pre_data, pdiag)
+
+        self._ns_solve = _ns_solve
+        self._adjoint = _adjoint
         self._jprime = jax.jit(
             lambda X, s, lam: ns_solver.shape_gradient(
                 self.ns_space, X, s, lam, cfg.visc, cfg.stab, self.obstacle_vmask
@@ -165,7 +215,11 @@ class ObstacleShapeOpt:
         else:
             X = self.X0
             s0 = self.initial_state(X)
-            s, it, nrm, conv = self._ns_solve(X, s0)
+            # viscosity continuation for the cold start (the reference warm-
+            # starts every subsequent solve from the previous flow field)
+            s = s0
+            for nu in _continuation_ladder(cfg.visc):
+                s, it, nrm, conv = self._ns_solve(X, s, visc=nu)
             if not bool(conv):
                 raise RuntimeError(f"initial NS solve failed: residual {float(nrm)}")
             drag_old = float(self._drag(X, s))

@@ -282,3 +282,16 @@ def diag_preconditioner(space: NSSpace, coords: jnp.ndarray, visc: float):
         return space.pack(rv / kdiag[None, :], rp / pdiag)
 
     return M
+
+
+def pressure_mass_lumped(space: NSSpace, coords: jnp.ndarray, visc: float) -> jnp.ndarray:
+    """(V,) lumped pressure mass / nu - the Stokes Schur-complement surrogate."""
+    d = space.dim
+    elems = jnp.asarray(space.elems)
+    _, _, _, vol = elem_geometry(coords, elems)
+    pm = jax.ops.segment_sum(
+        jnp.broadcast_to(vol[None, :] / (d + 1.0), elems.T.shape).reshape(-1),
+        elems.T.reshape(-1),
+        num_segments=space.n_vertices,
+    )
+    return pm / visc

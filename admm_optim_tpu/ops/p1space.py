@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.mesh import Hierarchy
-from ..solvers.mg import MGData, MGStructure, build_mg_data
+from ..solvers.mg import MGData, MGStructure
 from . import sparsity
 from .deformation import deformation_elem_mats
 
@@ -72,11 +72,108 @@ class P1VectorSpace:
         c_mass: float,
     ) -> MGData:
         """Assemble the constant SPD extension operator on every level from
-        the current fine-grid coordinates."""
+        the current fine-grid coordinates.
 
-        def elem_mat_fn(l):
-            coords_l = fine_coords[: self.nv[l]]
-            return deformation_elem_mats(coords_l, self.elems[l], c_eps, c_grad, c_mass)
+        Each level is a separately jitted (and therefore separately compile-
+        cached) kernel: one monolithic whole-hierarchy graph took minutes to
+        compile on TPU, the split compiles in seconds and re-runs in ms."""
+        import jax
 
-        fixed = [jnp.asarray(f) for f in self.fixed]
-        return build_mg_data(struct, elem_mat_fn, fixed, self.parents)
+        from ..solvers.mg import estimate_lmax
+
+        if not hasattr(self, "_lvl_jits"):
+            self._lvl_jits = {}
+        key = (c_eps, c_grad, c_mass)
+        if key not in self._lvl_jits:
+            fns = []
+            for l, pat in enumerate(self.patterns):
+                fixed_l = jnp.asarray(self.fixed[l])
+                elems_l = self.elems[l]
+
+                def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
+                    def fn(coords_l):
+                        em = deformation_elem_mats(coords_l, elems_l, c_eps, c_grad, c_mass)
+                        vals = sparsity.assemble_values(pat, em)
+                        vals = sparsity.bake_dirichlet(pat, vals, fixed_l)
+                        diag = sparsity.diag_cn(pat, vals).reshape(-1)
+                        lmax = estimate_lmax(pat, vals, diag)
+                        free = (~fixed_l).astype(vals.dtype).reshape(-1)
+                        return vals, diag, free, lmax
+
+                    return jax.jit(fn)
+
+                fns.append(make())
+            pat0 = self.patterns[0]
+            base_fn = jax.jit(
+                lambda v0: jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+            )
+            self._lvl_jits[key] = (fns, base_fn)
+        fns, base_fn = self._lvl_jits[key]
+        vals_l, diag_l, free_l, lmax_l = [], [], [], []
+        for l in range(len(self.patterns)):
+            vals, diag, free, lmax = fns[l](fine_coords[: self.nv[l]])
+            vals_l.append(vals)
+            diag_l.append(diag)
+            free_l.append(free)
+            lmax_l.append(lmax)
+        base_inv = base_fn(vals_l[0])
+        return MGData(
+            vals_l, diag_l, free_l, [jnp.asarray(p) for p in self.parents], lmax_l, base_inv
+        )
+
+    def assemble_mg_convdiff(
+        self,
+        struct: MGStructure,
+        fine_coords: jnp.ndarray,
+        w_fine: jnp.ndarray,
+        visc: float,
+    ) -> MGData:
+        """Per-level convection-diffusion operators (for the NS velocity
+        block): nu*grad:grad + (w.grad u, v) with the frozen advecting
+        velocity w (d, V_fine) injected onto each level (prefix slicing)."""
+        import jax
+
+        from ..ops.convdiff import convdiff_elem_mats
+        from ..solvers.mg import estimate_lmax
+
+        if not hasattr(self, "_cd_jits"):
+            self._cd_jits = {}
+        key = ("cd", visc)
+        if key not in self._cd_jits:
+            fns = []
+            for l, pat in enumerate(self.patterns):
+                fixed_l = jnp.asarray(self.fixed[l])
+                elems_l = self.elems[l]
+
+                def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
+                    def fn(coords_l, w_l):
+                        em = convdiff_elem_mats(coords_l, elems_l, w_l, visc)
+                        vals = sparsity.assemble_values(pat, em)
+                        vals = sparsity.bake_dirichlet(pat, vals, fixed_l)
+                        diag = sparsity.diag_cn(pat, vals).reshape(-1)
+                        lmax = estimate_lmax(pat, vals, diag)
+                        free = (~fixed_l).astype(vals.dtype).reshape(-1)
+                        return vals, diag, free, lmax
+
+                    return jax.jit(fn)
+
+                fns.append(make())
+            pat0 = self.patterns[0]
+            base_fn = jax.jit(
+                lambda v0: jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+            )
+            self._cd_jits[key] = (fns, base_fn)
+        fns, base_fn = self._cd_jits[key]
+        vals_l, diag_l, free_l, lmax_l = [], [], [], []
+        for l in range(len(self.patterns)):
+            vals, diag, free, lmax = fns[l](
+                fine_coords[: self.nv[l]], w_fine[:, : self.nv[l]]
+            )
+            vals_l.append(vals)
+            diag_l.append(diag)
+            free_l.append(free)
+            lmax_l.append(lmax)
+        base_inv = base_fn(vals_l[0])
+        return MGData(
+            vals_l, diag_l, free_l, [jnp.asarray(p) for p in self.parents], lmax_l, base_inv
+        )

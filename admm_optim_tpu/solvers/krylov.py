@@ -150,6 +150,8 @@ def gmres(
         x0 = jnp.zeros_like(b)
     nrm0 = _norm(b - A(x0))
     tol_eff = jnp.maximum(abs_tol, rel_tol * nrm0) / jnp.maximum(_norm(b), 1e-300)
+    # jax.scipy's maxiter counts RESTART CYCLES (each doing `restart`
+    # preconditioned matvecs); interpret max_iters as total matvecs
     x, _ = jsl.gmres(
         A,
         b,
@@ -157,7 +159,7 @@ def gmres(
         tol=tol_eff,
         atol=abs_tol,
         restart=restart,
-        maxiter=max_iters,
+        maxiter=max(1, -(-max_iters // restart)),
         M=M if M is not None else None,
         solve_method="batched",
     )

@@ -13,8 +13,11 @@ refinement hierarchy with
    available and assembly is a fused batched op) instead of Galerkin RAP
    (rap=true, obstacle_optim_util.lua:28) - equivalent for these nested P1
    spaces up to quadrature, cheaper on TPU.
- * **Dense coarse solve** via LU on level 0 replacing SuperLU
-   (obstacle_optim_util.lua:22).
+ * **Dense coarse solve** on level 0 replacing SuperLU
+   (obstacle_optim_util.lua:22): the operator inverse is formed once per
+   assembly and applied as a single MXU matmul per V-cycle - TPU triangular
+   solves are sequential and dominate both compile and run time, a dense
+   matmul is ~100x cheaper here.
 
 All level vectors are FLAT component-major ``(C*N_l,)`` (see ops.sparsity
 layout notes).  Transfers exploit the hierarchy invariant (core.mesh):
@@ -62,6 +65,7 @@ class MGStructure:
     pre_smooth: int = 3
     post_smooth: int = 3
     cheb_lower: float = 0.25  # smoothing interval [cheb_lower*lmax, lmax]
+    smoother: str = "chebyshev"  # "chebyshev" (SPD) | "jacobi" (nonsymmetric)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -74,11 +78,11 @@ class MGData:
     free: list  # per level: flat (C*N,) float mask (0 at Dirichlet dofs)
     parents: list  # per level l>=1: (V_l, 2) int32 into level l-1
     lmax: list  # per level: scalar Chebyshev upper bound
-    base_lu: Any  # (lu, piv) factors of dense level-0 operator
+    base_inv: Any  # dense inverse of the level-0 operator
 
     def tree_flatten(self):
         return (
-            (self.vals, self.diag, self.free, self.parents, self.lmax, self.base_lu),
+            (self.vals, self.diag, self.free, self.parents, self.lmax, self.base_inv),
             None,
         )
 
@@ -130,6 +134,19 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
     return x
 
 
+def jacobi_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, omega: float = 0.7):
+    """Damped Jacobi, safe for the nonsymmetric convection-diffusion
+    operators (Chebyshev assumes a real spectrum).  The damping is scaled by
+    the power-iteration bound on D^-1 A."""
+    inv_d = omega / (jnp.maximum(diag, 1e-30) * jnp.maximum(lmax, 1e-30))
+
+    def body(i, x):
+        r = b - sparsity.spmv_flat(pat, vals, x)
+        return x + inv_d * r
+
+    return jax.lax.fori_loop(0, degree, body, x)
+
+
 def build_mg_data(
     struct: MGStructure,
     elem_mat_fn: Callable[[int], jnp.ndarray],
@@ -148,8 +165,8 @@ def build_mg_data(
         free_l.append(1.0 - fixed_masks[l].astype(vals.dtype).reshape(-1))
         lmax_l.append(estimate_lmax(pat, vals, d))
     dense0 = sparsity.to_dense(struct.patterns[0], vals_l[0])
-    base_lu = jax.scipy.linalg.lu_factor(dense0)
-    return MGData(vals_l, diag_l, free_l, [jnp.asarray(p) for p in parents], lmax_l, base_lu)
+    base_inv = jnp.linalg.inv(dense0)
+    return MGData(vals_l, diag_l, free_l, [jnp.asarray(p) for p in parents], lmax_l, base_inv)
 
 
 def vcycle(struct: MGStructure, data: MGData, b: jnp.ndarray, x0=None) -> jnp.ndarray:
@@ -157,22 +174,27 @@ def vcycle(struct: MGStructure, data: MGData, b: jnp.ndarray, x0=None) -> jnp.nd
     L = struct.n_levels - 1
     C = struct.patterns[0].block
 
+    if struct.smoother == "jacobi":
+        smooth = lambda pat, v, d, lm, x, b, deg: jacobi_smooth(pat, v, d, lm, x, b, deg)
+    else:
+        smooth = lambda pat, v, d, lm, x, b, deg: chebyshev_smooth(
+            pat, v, d, lm, x, b, deg, struct.cheb_lower
+        )
+
     def solve_level(l, b_l, x_l):
         pat = struct.patterns[l]
         if l == 0:
-            return jax.scipy.linalg.lu_solve(data.base_lu, b_l)
-        x_l = chebyshev_smooth(
-            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
-            struct.pre_smooth, struct.cheb_lower,
+            return data.base_inv @ b_l
+        x_l = smooth(
+            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l, struct.pre_smooth
         )
         r = (b_l - sparsity.spmv_flat(pat, data.vals[l], x_l)) * data.free[l]
         rc = restrict(data.parents[l - 1], r, struct.patterns[l - 1].n_rows, C)
         rc = rc * data.free[l - 1]
         ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
         x_l = x_l + prolong(data.parents[l - 1], ec, C) * data.free[l]
-        x_l = chebyshev_smooth(
-            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
-            struct.post_smooth, struct.cheb_lower,
+        x_l = smooth(
+            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l, struct.post_smooth
         )
         return x_l
 

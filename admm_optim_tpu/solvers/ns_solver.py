@@ -37,14 +37,21 @@ class NewtonConfig:
     lin_abs_tol: float = 1e-14
 
 
-def newton_solve(space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig()):
+def newton_solve(
+    space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None
+):
     """Newton with backtracking acceptBest line search.  Returns
-    (s, iters, res_norm, converged) - all jittable."""
+    (s, iters, res_norm, converged) - all jittable.
+
+    M: optional preconditioner for the inner GMRES (e.g. the GMG block
+    preconditioner from make_ns_gmg_preconditioner); defaults to the
+    block-diagonal surrogate."""
 
     def R(s):
         return nsops.ns_residual(space, coords, s, visc, stab)
 
-    M = nsops.diag_preconditioner(space, coords, visc)
+    if M is None:
+        M = nsops.diag_preconditioner(space, coords, visc)
 
     def norm(x):
         return jnp.sqrt(jnp.vdot(x, x))
@@ -100,10 +107,15 @@ def newton_solve(space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonCo
     return s, it, nrm, nrm <= cfg.accept_tol
 
 
-def adjoint_solve(space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig()):
+def adjoint_solve(
+    space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None
+):
     """Solve J(s)^T lambda = -dJ_drag/ds.  The reference assembles a separate
     adjoint discretization (ADMMNavierStokesAdjoint, 2d_admm.lua:286-332);
-    the transposed-Jacobian solve is its exact discrete counterpart."""
+    the transposed-Jacobian solve is its exact discrete counterpart.
+
+    Note: a GMG preconditioner built for J must be (approximately) symmetric
+    to double as a J^T preconditioner - the vector-Laplacian V-cycle is."""
 
     def R(ss):
         return nsops.ns_residual(space, coords, ss, visc, stab)
@@ -111,7 +123,8 @@ def adjoint_solve(space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonCo
     _, vjp = jax.vjp(R, s)
     Jt = lambda x: vjp(x)[0]
     gJ = jax.grad(lambda ss: nsops.drag(space, coords, ss, visc))(s)
-    M = nsops.diag_preconditioner(space, coords, visc)
+    if M is None:
+        M = nsops.diag_preconditioner(space, coords, visc)
     res = gmres(
         Jt,
         -gJ,
@@ -136,3 +149,55 @@ def shape_gradient(space, coords, s, lam, visc, stab, obstacle_vmask):
 
     g = jax.grad(L)(coords)
     return g * obstacle_vmask[:, None]
+
+
+def ns_gmg_precond_data(
+    ns_space, pre_space, pre_struct, coords, visc, s=None, p2_iso=True, adjoint=False
+):
+    """Assemble the data of the GMG block preconditioner for the NS Jacobian.
+
+    The velocity GMG exploits the hierarchy invariant: the P2 velocity dofs
+    on level L (vertices + edge midpoints) ARE the vertices of level L+1, so
+    a P2 coefficient vector is bitwise a P1 field on the once-refined mesh
+    (the classical "P1-iso-P2" spectral equivalence), and since P2 nodal
+    coefficients are interpolatory the current velocity doubles as the P1
+    advecting field for the per-level convection-diffusion operators.
+    pre_space must be the P1VectorSpace over levels 0..L+1 built with the NS
+    velocity Dirichlet subsets; its per-level jits keep TPU compiles small.
+
+    s: optional frozen NS state - if given, the velocity block carries the
+    convection term (essential at low viscosity; the reference's GMG smooths
+    the full Jacobian too, obstacle_optim_util.lua:46-68).  adjoint=True
+    negates the advecting field (transposed-convection surrogate).
+
+    Returns (pre_data pytree, pdiag) to pass into ns_gmg_M."""
+    if p2_iso:
+        # level-(L+1) coordinates via the midpoint parents (old vertices
+        # have parents (v, v), so this is uniformly 0.5*(x[p0]+x[p1]))
+        parents_fine = pre_space.parents[-1]
+        Xf = 0.5 * (coords[parents_fine[:, 0]] + coords[parents_fine[:, 1]])
+    else:  # P1/P1 velocity space lives on the same level
+        Xf = coords
+    if s is None:
+        pre_data = pre_space.assemble_mg(pre_struct, Xf, 0.0, visc, 0.0)
+    else:
+        w, _ = ns_space.unpack(s)
+        w = -w if adjoint else w
+        pre_data = pre_space.assemble_mg_convdiff(pre_struct, Xf, w, visc)
+    pdiag = nsops.pressure_mass_lumped(ns_space, coords, visc)
+    return pre_data, pdiag
+
+
+def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag):
+    """Block preconditioner closure: velocity ~ one V-cycle on the
+    nu-weighted vector Laplacian (on the once-refined P1 space), pressure ~
+    lumped mass / nu.  Replaces the reference's GMG+ComponentGaussSeidel NS
+    preconditioner (obstacle_optim_util.lua:46-102)."""
+    from ..solvers import mg as mgmod
+
+    def M(r):
+        rv, rp = ns_space.unpack(r)  # rv (d, n_vel) == P1 field on L+1
+        zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
+        return ns_space.pack(zv, rp / pdiag)
+
+    return M

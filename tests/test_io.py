@@ -1,0 +1,79 @@
+"""IO layer: telemetry files, VTU writer, checkpoint roundtrip, ugx
+write/read roundtrip."""
+import numpy as np
+
+from admm_optim_tpu.core import geomgen
+from admm_optim_tpu.core.mesh import Hierarchy, level_from_ugx
+from admm_optim_tpu.core.ugx import UgxGrid, SubsetInfo, read_ugx, write_ugx
+from admm_optim_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from admm_optim_tpu.io.telemetry import TelemetryWriter, write_columns
+from admm_optim_tpu.io.vtk import write_vtu
+
+
+def test_telemetry_files(tmp_path):
+    t = TelemetryWriter(str(tmp_path))
+    t.log_step({"step": 0, "drag": 1.0})
+    t.write_drag([0, 1], [1.0, 0.9], [1.0, 0.9], [0.0, 0.1], [-0.1, -0.05])
+    t.write_iterations([0, 1], [5, 6], [0.3, 0.3], [12, 14], [100, 120])
+    t.close()
+    drag = (tmp_path / "__Drag.txt").read_text().strip().splitlines()
+    assert len(drag) == 2
+    assert drag[0].split("\t")[0] == "0"
+    hist = (tmp_path / "history.jsonl").read_text().strip().splitlines()
+    assert len(hist) == 1
+
+
+def test_vtu_writer(tmp_path):
+    lvl = geomgen.channel_2d()
+    path = str(tmp_path / "mesh.vtu")
+    write_vtu(path, lvl.coords, lvl.elems, point_data={"u": np.zeros_like(lvl.coords)})
+    txt = open(path).read()
+    assert "UnstructuredGrid" in txt
+    assert f'NumberOfPoints="{lvl.num_vertices}"' in txt
+    assert f'NumberOfCells="{lvl.num_elems}"' in txt
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    path = str(tmp_path / "ck.npz")
+    X = np.random.default_rng(0).normal(size=(10, 2))
+    s = np.random.default_rng(1).normal(size=(37,))
+    save_checkpoint(path, step=7, X=X, s=s, sigma=0.15, drag_old=0.83)
+    z = load_checkpoint(path)
+    assert z["step"] == 7
+    np.testing.assert_allclose(z["X"], X)
+    np.testing.assert_allclose(z["s"], s)
+    assert z["sigma"] == 0.15
+
+
+def test_ugx_roundtrip(tmp_path):
+    lvl = geomgen.channel_2d()
+    # build a UgxGrid from the level and round-trip it
+    coords3 = np.pad(lvl.coords, ((0, 0), (0, 1)))
+    subsets = {}
+    for name in lvl.subset_vertices:
+        subsets[name] = SubsetInfo(
+            name=name,
+            vertices=np.where(lvl.subset_vertices[name])[0].astype(np.int32),
+            edges=np.where(lvl.subset_edges[name])[0].astype(np.int32),
+            faces=np.where(lvl.subset_elems[name])[0].astype(np.int32),
+            volumes=np.zeros(0, np.int32),
+        )
+    g = UgxGrid(
+        name="t",
+        coords=coords3,
+        edges=lvl.edges,
+        triangles=lvl.elems,
+        tetrahedrons=np.zeros((0, 4), np.int32),
+        subsets=subsets,
+    )
+    path = str(tmp_path / "g.ugx")
+    write_ugx(path, g)
+    g2 = read_ugx(path)
+    np.testing.assert_allclose(g2.coords, coords3)
+    np.testing.assert_array_equal(g2.triangles, lvl.elems)
+    lvl2 = level_from_ugx(g2)
+    assert lvl2.num_vertices == lvl.num_vertices
+    for name in lvl.subset_vertices:
+        np.testing.assert_array_equal(
+            lvl2.subset_vertices[name], lvl.subset_vertices[name]
+        )
