@@ -45,6 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-x64", action="store_true", help="run in float64 on CPU")
     a("-restart", type=str, default=None, help="checkpoint file to resume from")
     a("-bOutputMesh", type=int, default=1)
+    a("-bActivateProfiler", type=int, default=0)
     a("-verbose", type=int, default=1)
     return p
 
@@ -125,14 +126,23 @@ def main(argv=None) -> int:
     else:
         callback = None
 
+    profiler = None
+    if args.bActivateProfiler:
+        from .utils.profiling import Profiler
+
+        profiler = Profiler()
+
     hist = prob.run(
         telemetry=tele,
         callback=callback,
         verbose=bool(args.verbose),
         resume=start_state,
         checkpoint_path=f"{args.outDir}/checkpoint.npz",
+        profiler=profiler,
     )
     tele.close()
+    if profiler is not None:
+        print(profiler.report())
     if hist:
         print(
             f"DONE: {len(hist)} accepted steps, drag {hist[0].drag:.6f} -> {hist[-1].drag:.6f}"

@@ -39,6 +39,18 @@ def _edge_table(pairs: np.ndarray) -> np.ndarray:
     return np.unique(pairs, axis=0).astype(np.int32)
 
 
+def _edges_and_elem_edges(coords, elems):
+    """(edges, elem_edges) via the native meshkit runtime when available."""
+    from . import meshkit
+
+    loc = TET_EDGES if elems.shape[1] == 4 else TRI_EDGES
+    native = meshkit.edge_table(elems, loc)
+    if native is not None:
+        return native
+    edges = _edge_table(elems[:, loc].reshape(-1, 2))
+    return edges, _edge_lookup(edges, np.sort(elems[:, loc], axis=-1))
+
+
 def _edge_lookup(edges: np.ndarray, query: np.ndarray) -> np.ndarray:
     """Map (n,2) sorted vertex pairs to edge ids via binary search."""
     vmax = int(edges.max()) + 2 if len(edges) else 1
@@ -104,9 +116,7 @@ def level_from_ugx(grid: UgxGrid) -> MeshLevel:
     coords = grid.coords[:, :dim].astype(np.float64)
     elems = (grid.tetrahedrons if dim == 3 else grid.triangles).astype(np.int32)
     elems = _orient_positive(coords, elems)
-    loc = TET_EDGES if dim == 3 else TRI_EDGES
-    edges = _edge_table(elems[:, loc].reshape(-1, 2))
-    elem_edges = _edge_lookup(edges, np.sort(elems[:, loc], axis=-1))
+    edges, elem_edges = _edges_and_elem_edges(coords, elems)
 
     V, E, Ne = len(coords), len(elems), len(edges)
     sub_v, sub_e, sub_el, sub_f = {}, {}, {}, {}
@@ -181,9 +191,7 @@ def refine(lvl: MeshLevel) -> MeshLevel:
         nchild = 8
     elems = _orient_positive(coords, children.reshape(-1, dim + 1).astype(np.int32))
 
-    loc = TET_EDGES if dim == 3 else TRI_EDGES
-    edges = _edge_table(elems[:, loc].reshape(-1, 2))
-    elem_edges = _edge_lookup(edges, np.sort(elems[:, loc], axis=-1))
+    edges, elem_edges = _edges_and_elem_edges(coords, elems)
 
     # ---- subset propagation ------------------------------------------------
     # classify new edges: (i) children of old edges: exactly one endpoint < V

@@ -199,11 +199,16 @@ class ObstacleShapeOpt:
         verbose: bool = False,
         resume: dict | None = None,
         checkpoint_path: str | None = None,
+        profiler=None,
     ) -> list[StepRecord]:
         """Full optimization loop.  Returns per-accepted-step records.
 
         resume: dict from io.checkpoint.load_checkpoint (X, s, sigma, step,
-        drag_old); checkpoint_path: save after every accepted step."""
+        drag_old); checkpoint_path: save after every accepted step;
+        profiler: utils.profiling.Profiler (ProfileLUA parity, 2d:14)."""
+        from ..utils.profiling import NULL
+
+        prof = profiler if profiler is not None else NULL
         cfg = self.cfg
         num_steps = num_steps if num_steps is not None else cfg.num_steps
         if resume is not None:
@@ -231,15 +236,20 @@ class ObstacleShapeOpt:
 
         for step in range(start_step, num_steps):
             t0 = time.perf_counter()
-            lam_adj, adj_res = self._adjoint(X, s)
-            Jp = self._jprime(X, s, lam_adj)
+            with prof.phase("adjoint"):
+                lam_adj, adj_res = self._adjoint(X, s)
+            with prof.phase("jprime", sync=None):
+                Jp = self._jprime(X, s, lam_adj)
             scaling = cfg.scaling  # reset each step (reference 2d:807)
             accepted = False
             attempts = 0
             while not accepted and attempts < cfg.max_attempts_per_step:
                 attempts += 1
-                mgdata = self._assemble(X)
-                st = self._admm(mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling))
+                with prof.phase("assemble"):
+                    mgdata = self._assemble(X)
+                with prof.phase("admm", sync=None):
+                    st = self._admm(mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling))
+                    jax.block_until_ready(st.u)
                 if bool(st.failed):
                     sigma *= 0.5  # reference 2d:1269
                     if verbose:
@@ -251,7 +261,8 @@ class ObstacleShapeOpt:
                     if verbose:
                         print(f"step {step}: mesh tangled, sigma -> {sigma}")
                     continue
-                s_new, nit, nnrm, nconv = self._ns_solve(X_new, s)
+                with prof.phase("ns_solve"):
+                    s_new, nit, nnrm, nconv = self._ns_solve(X_new, s)
                 if not bool(nconv):
                     sigma *= 0.5
                     if verbose:

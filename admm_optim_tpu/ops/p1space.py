@@ -43,7 +43,9 @@ class P1VectorSpace:
             fixed.append(np.repeat(m[None, :], d, axis=0))  # (C, V)
             elems.append(jnp.asarray(lvl.elems))
             nv.append(lvl.num_vertices)
-        parents = [np.asarray(hier.levels[l].parents) for l in range(1, len(hier.levels))]
+        parents = [
+            jnp.asarray(hier.levels[l].parents) for l in range(1, len(hier.levels))
+        ]
         return cls(hier, tuple(dirichlet), tuple(patterns), fixed, parents, elems, nv)
 
     @property
@@ -87,17 +89,19 @@ class P1VectorSpace:
         if key not in self._lvl_jits:
             fns = []
             for l, pat in enumerate(self.patterns):
-                fixed_l = jnp.asarray(self.fixed[l])
-                elems_l = self.elems[l]
+                fixed_l = np.asarray(self.fixed[l])  # numpy: safe to cache
+                elems_l = np.asarray(self.hier.levels[l].elems)
 
                 def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
                     def fn(coords_l):
-                        em = deformation_elem_mats(coords_l, elems_l, c_eps, c_grad, c_mass)
+                        em = deformation_elem_mats(
+                            coords_l, jnp.asarray(elems_l), c_eps, c_grad, c_mass
+                        )
                         vals = sparsity.assemble_values(pat, em)
-                        vals = sparsity.bake_dirichlet(pat, vals, fixed_l)
+                        vals = sparsity.bake_dirichlet(pat, vals, jnp.asarray(fixed_l))
                         diag = sparsity.diag_cn(pat, vals).reshape(-1)
                         lmax = estimate_lmax(pat, vals, diag)
-                        free = (~fixed_l).astype(vals.dtype).reshape(-1)
+                        free = jnp.asarray(~fixed_l, vals.dtype).reshape(-1)
                         return vals, diag, free, lmax
 
                     return jax.jit(fn)
@@ -117,9 +121,7 @@ class P1VectorSpace:
             free_l.append(free)
             lmax_l.append(lmax)
         base_inv = base_fn(vals_l[0])
-        return MGData(
-            vals_l, diag_l, free_l, [jnp.asarray(p) for p in self.parents], lmax_l, base_inv
-        )
+        return MGData(vals_l, diag_l, free_l, list(self.parents), lmax_l, base_inv)
 
     def assemble_mg_convdiff(
         self,
@@ -142,17 +144,17 @@ class P1VectorSpace:
         if key not in self._cd_jits:
             fns = []
             for l, pat in enumerate(self.patterns):
-                fixed_l = jnp.asarray(self.fixed[l])
-                elems_l = self.elems[l]
+                fixed_l = np.asarray(self.fixed[l])  # numpy: safe to cache
+                elems_l = np.asarray(self.hier.levels[l].elems)
 
                 def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
                     def fn(coords_l, w_l):
-                        em = convdiff_elem_mats(coords_l, elems_l, w_l, visc)
+                        em = convdiff_elem_mats(coords_l, jnp.asarray(elems_l), w_l, visc)
                         vals = sparsity.assemble_values(pat, em)
-                        vals = sparsity.bake_dirichlet(pat, vals, fixed_l)
+                        vals = sparsity.bake_dirichlet(pat, vals, jnp.asarray(fixed_l))
                         diag = sparsity.diag_cn(pat, vals).reshape(-1)
                         lmax = estimate_lmax(pat, vals, diag)
-                        free = (~fixed_l).astype(vals.dtype).reshape(-1)
+                        free = jnp.asarray(~fixed_l, vals.dtype).reshape(-1)
                         return vals, diag, free, lmax
 
                     return jax.jit(fn)
@@ -174,6 +176,4 @@ class P1VectorSpace:
             free_l.append(free)
             lmax_l.append(lmax)
         base_inv = base_fn(vals_l[0])
-        return MGData(
-            vals_l, diag_l, free_l, [jnp.asarray(p) for p in self.parents], lmax_l, base_inv
-        )
+        return MGData(vals_l, diag_l, free_l, list(self.parents), lmax_l, base_inv)

@@ -55,8 +55,17 @@ def build_pattern(elem_dofs: np.ndarray, n_rows: int, block: int) -> Pattern:
     """elem_dofs: (E, nl) int. Builds the ELL pattern + assembly scatter map.
 
     The scatter map is ordered (i, j, e) with e minor-most, matching element
-    matrices laid out (C, C, nl, nl, E)."""
+    matrices laid out (C, C, nl, nl, E).  Uses the native meshkit runtime
+    (native/meshkit.cpp) when available; numpy otherwise (same contract)."""
     E, nl = elem_dofs.shape
+    from ..core import meshkit
+
+    native = meshkit.pattern(elem_dofs, n_rows)
+    if native is not None:
+        cols, slots, diag_k = native
+        return Pattern(
+            n_rows=n_rows, block=block, cols=cols, slots=slots, diag_k=diag_k, nl=nl
+        )
     # entry (i, j, e): row = dofs[e,i], col = dofs[e,j]; e minor
     rows = elem_dofs.T[:, None, :].repeat(nl, 1).ravel().astype(np.int64)  # (nl,nl,E)
     cols = elem_dofs.T[None, :, :].repeat(nl, 0).ravel().astype(np.int64)

@@ -206,7 +206,10 @@ def newton_xupdate(
         return (~done) & (~failed) & (it < cfg.ns_max_its)
 
     def body(state):
-        u, Lambda, it, lin, done, failed, _ = state
+        u, Lambda, it, lin, done, failed, dlam_prev = state
+        # under vmap the loop body runs for ALL lanes until every lane's
+        # cond is false; freeze lanes that are already done/failed
+        active = (~done) & (~failed)
         g = dfm.constraints(coords, elems, u, ref_volume, ref_barycenter)
         B = dfm.constraint_grads(coords, elems, u, ref_volume, ref_barycenter, free)
         Lu = (Aop(u) + r_lin + jnp.einsum("m,mcv->cv", Lambda, B)) * free
@@ -220,19 +223,25 @@ def newton_xupdate(
         dLambda = jnp.linalg.solve(S, rhs_s)
         du = -st - jnp.einsum("m,mcv->cv", dLambda, t)
 
-        u_new = (u + du) * free
-        Lambda_new = Lambda + dLambda
+        u_new = jnp.where(active, (u + du) * free, u)
+        Lambda_new = jnp.where(active, Lambda + dLambda, Lambda)
 
         # convergence (reference 2d:1163-1169): increment / abs / rel norms
         dlam_norm = jnp.sqrt(jnp.vdot(dLambda, dLambda))
         lu_norm = l2_norm_p1(coords, elems, Lu)
         g_norm = jnp.sqrt(jnp.vdot(g, g))
-        done = (
-            (dlam_norm <= cfg.ns_tol)
-            | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_tol))
+        done = done | (
+            active
+            & (
+                (dlam_norm <= cfg.ns_tol)
+                | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_tol))
+            )
         )
-        failed = ~ok
-        return (u_new, Lambda_new, it + 1, lin + nlin, done, failed, dlam_norm)
+        failed = failed | (active & ~ok)
+        it = jnp.where(active, it + 1, it)
+        lin = jnp.where(active, lin + nlin, lin)
+        dlam_norm = jnp.where(active, dlam_norm, dlam_prev)
+        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm)
 
     init = (
         u0,
@@ -275,6 +284,7 @@ def admm_inner(
         return (~st.converged) & (~st.failed) & (st.admm_it < cfg.admm_steps)
 
     def body(st: ADMMState):
+        active = (~st.converged) & (~st.failed)
         # ---- z-update + projection (2d:883-905) --------------------------
         q_proj = dfm.z_update(
             coords, elems, st.u, st.lam, cfg.tau, sigma_threshold, cfg.norm_name
@@ -313,9 +323,11 @@ def admm_inner(
         # and resets the step counter)
         scaling = jnp.where(fake, st.scaling * 2.0, st.scaling)
         admm_it = jnp.where(fake, 0, st.admm_it + 1)
-        failed = x_failed | (admm_it >= cfg.admm_steps)
+        # convergence is checked BEFORE the max-step failure (reference
+        # 2d:1226 precedes 2d:1245)
+        failed = x_failed | ((admm_it >= cfg.admm_steps) & ~converged)
 
-        return ADMMState(
+        new = ADMMState(
             u=u,
             u_old=u,
             lam=lam,
@@ -330,6 +342,10 @@ def admm_inner(
             u_diff_norm=u_diff_norm,
             lam_inc_norm=lam_inc_norm,
             max_grad_norm=max_norm,
+        )
+        # freeze lanes that were already finished (vmap semantics)
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(active, a, b), new, st
         )
 
     return jax.lax.while_loop(cond, body, state)

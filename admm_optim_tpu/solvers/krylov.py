@@ -50,6 +50,10 @@ def cg(
         return (nrm > tol) & (it < max_iters)
 
     def body(state):
+        # under vmap the body keeps running for already-converged lanes;
+        # freeze them (they would otherwise keep mutating their iterate)
+        x0_, r0_, z0_, p0_, rz0_, it0_, nrm0_ = state
+        active = cond(state)
         x, r, z, p, rz, it, nrm = state
         Ap = A(p)
         denom = jnp.vdot(p, Ap)
@@ -60,7 +64,9 @@ def cg(
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
-        return (x, r, z, p, rz_new, it + 1, _norm(r))
+        new = (x, r, z, p, rz_new, it + 1, _norm(r))
+        old = (x0_, r0_, z0_, p0_, rz0_, it0_, nrm0_)
+        return jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new, old)
 
     init = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0, jnp.int32), nrm0)
     x, r, z, p, rz, it, nrm = jax.lax.while_loop(cond, body, init)
@@ -92,6 +98,9 @@ def bicgstab(
         return (nrm > tol) & (it < max_iters) & ok
 
     def body(state):
+        # freeze already-finished lanes under vmap (see cg.body)
+        active = cond(state)
+        old = state
         x, r, p, v, rho, alpha, omega, it, nrm, ok = state
         rho_new = jnp.vdot(rhat, r)
         beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
@@ -108,7 +117,8 @@ def bicgstab(
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         bad = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(denom) < 1e-300)
-        return (x, r, p, v, rho_new, alpha, omega, it + 1, _norm(r), ~bad)
+        new = (x, r, p, v, rho_new, alpha, omega, it + 1, _norm(r), ~bad)
+        return jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new, old)
 
     one = jnp.ones((), b.dtype)
     init = (
