@@ -40,6 +40,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-nsAbsLuTol", type=float, default=1e-12)
     a("-grid", type=str, default=None, help=".ugx grid file (default: generated)")
     a("-bDoNothing", type=int, default=1)
+    a("-b2ndOrder", type=int, default=0)
+    a("-hscaling", type=float, default=1.0)
     a("-vorder", type=int, default=2, choices=(1, 2))
     a("-outDir", type=str, default="./admm_out")
     a("-x64", action="store_true", help="run in float64 on CPU")
@@ -65,7 +67,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_enable_x64", True)
 
     from .io.telemetry import TelemetryWriter
-    from .models.obstacle import ObstacleShapeOpt, ProblemConfig
+    from .models.obstacle import ObstacleShapeOpt, ProblemConfig, f32_presets
     from .optim.admm import ADMMConfig
     from .solvers.ns_solver import NewtonConfig
 
@@ -80,6 +82,8 @@ def main(argv=None) -> int:
         line_search_param=args.line_search,
         do_nothing=bool(args.bDoNothing),
         vorder=args.vorder,
+        b2nd_order=bool(args.b2ndOrder),
+        high_order_scaling=args.hscaling,
         grid_path=args.grid,
         admm=ADMMConfig(
             admm_steps=args.admmSteps,
@@ -96,6 +100,8 @@ def main(argv=None) -> int:
         ),
         ns=NewtonConfig(),
     )
+    if not args.x64:
+        cfg = f32_presets(cfg)
     print("THE PARAMETERS USED FOR EXECUTION ARE:")
     for k, v in vars(args).items():
         print(f"  {k}: {v}")

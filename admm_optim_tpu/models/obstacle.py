@@ -53,11 +53,36 @@ class ProblemConfig:
     line_search_param: float = 1e-5  # -line_search
     do_nothing: bool = True  # -bDoNothing
     vorder: int = 2  # velocity order (reference: constant vorder=2)
+    b2nd_order: bool = False  # -b2ndOrder (2d:86): J'' term in the x-update
+    high_order_scaling: float = 1.0  # -hscaling (2d:51)
     diameter: float = 6.0
     max_attempts_per_step: int = 12  # bound on the reference's while(true)
     grid_path: str | None = None  # load a .ugx instead of generating
     admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
+
+
+def f32_presets(cfg: "ProblemConfig") -> "ProblemConfig":
+    """Solver tolerances reachable in float32 (TPU default).  f64 targets
+    like 1e-12 defect norms are below the f32 noise floor; these presets
+    keep the same outer logic with achievable inner targets."""
+    import dataclasses as _dc
+
+    return _dc.replace(
+        cfg,
+        admm=_dc.replace(
+            cfg.admm, ns_tol=max(cfg.admm.ns_tol, 1e-4),
+            ns_abs_tol=max(cfg.admm.ns_abs_tol, 1e-5),
+            lin_abs_tol=max(cfg.admm.lin_abs_tol, 1e-7),
+            lin_rel_tol=max(cfg.admm.lin_rel_tol, 1e-7),
+        ),
+        ns=_dc.replace(
+            cfg.ns, accept_tol=max(cfg.ns.accept_tol, 1e-4),
+            abs_tol=max(cfg.ns.abs_tol, 1e-6),
+            lin_rel_tol=max(cfg.ns.lin_rel_tol, 1e-4),
+            lin_abs_tol=max(cfg.ns.lin_abs_tol, 1e-6),
+        ),
+    )
 
 
 def _continuation_ladder(visc: float, start: float = 0.16):
@@ -154,10 +179,12 @@ class ObstacleShapeOpt:
                 M=ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag),
             )
         )
+        # adjoint: the diagonal block preconditioner is both stable and the
+        # fastest option for the TRANSPOSED system in f32 (the negated-
+        # velocity conv-diff V-cycle stalls it; measured on TPU)
         self._adjoint_pre = jax.jit(
-            lambda X, s, pre_data, pdiag: ns_solver.adjoint_solve(
-                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns,
-                M=ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag),
+            lambda X, s: ns_solver.adjoint_solve(
+                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns
             )
         )
 
@@ -166,8 +193,7 @@ class ObstacleShapeOpt:
             return self._ns_solve_pre(X, s0, pre_data, pdiag, cfg.visc if visc is None else visc)
 
         def _adjoint(X, s):
-            pre_data, pdiag = self._ns_pre(X, s=s, adjoint=True)
-            return self._adjoint_pre(X, s, pre_data, pdiag)
+            return self._adjoint_pre(X, s)
 
         self._ns_solve = _ns_solve
         self._adjoint = _adjoint
@@ -178,12 +204,39 @@ class ObstacleShapeOpt:
             * self.free  # (C, V); deformation BCs also fix inlet/wall/outlet
         )
         self._drag = jax.jit(lambda X, s: nsops.drag(self.ns_space, X, s, cfg.visc))
-        self._admm = jax.jit(
-            lambda mgdata, X, Jp, sigma, scaling: admm.admm_inner(
+
+        def _admm_impl(mgdata, X, Jp, sigma, scaling, s, lam_adj):
+            extra = None
+            if cfg.b2nd_order:
+                # second-order term (-b2ndOrder, 2d:86, 389-419): the
+                # directional derivative of the frozen-(s, lambda) shape
+                # gradient - AD replaces the hand-coded J'' element terms
+                def jprime_of_X(XX):
+                    return (
+                        ns_solver.shape_gradient(
+                            self.ns_space, XX, s, lam_adj, cfg.visc, cfg.stab,
+                            self.obstacle_vmask,
+                        ).T
+                        * self.free
+                    )
+
+                def extra(x):
+                    return cfg.high_order_scaling * jax.jvp(
+                        jprime_of_X, (X,), (x.T,)
+                    )[1]
+
+            return admm.admm_inner(
                 a, self.struct, mgdata, X, self.elems, self.free, Jp,
                 sigma, scaling, self.ref_volume, self.ref_barycenter,
+                extra_hvp=extra,
             )
+
+        self._admm_full = jax.jit(_admm_impl)
+        self._admm = lambda mgdata, X, Jp, sigma, scaling: self._admm_full(
+            mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
         )
+        self._cur_s = None
+        self._cur_lam_adj = None
         self._min_det = jax.jit(lambda X: jnp.min(elem_geometry(X, self.elems)[1]))
 
     # ------------------------------------------------------------------
@@ -240,6 +293,7 @@ class ObstacleShapeOpt:
                 lam_adj, adj_res = self._adjoint(X, s)
             with prof.phase("jprime", sync=None):
                 Jp = self._jprime(X, s, lam_adj)
+            self._cur_s, self._cur_lam_adj = s, lam_adj
             scaling = cfg.scaling  # reset each step (reference 2d:807)
             accepted = False
             attempts = 0
@@ -305,6 +359,11 @@ class ObstacleShapeOpt:
                     )
                 if telemetry is not None:
                     telemetry.log_step(dataclasses.asdict(rec))
+                    stats = np.asarray(st.stats)[: max(int(st.admm_it), 1)]
+                    telemetry.write_admm_stats(
+                        step,
+                        {f"c{i}": stats[:, i].tolist() for i in range(stats.shape[1])},
+                    )
                     steps = [r.step for r in history]
                     telemetry.write_drag(
                         steps,

@@ -79,6 +79,9 @@ class ADMMState:
     u_diff_norm: jnp.ndarray
     lam_inc_norm: jnp.ndarray
     max_grad_norm: jnp.ndarray
+    stats: jnp.ndarray  # (admm_steps, 6) per-iteration history:
+    # [scaling, sigma, u_diff, lam_inc, max_grad, sigma - max_grad]
+    # (column layout of __ADMMStats_step_N_.txt, reference 2d:1221-1223)
 
     def tree_flatten(self):
         return (
@@ -97,6 +100,7 @@ class ADMMState:
                 self.u_diff_norm,
                 self.lam_inc_norm,
                 self.max_grad_norm,
+                self.stats,
             ),
             None,
         )
@@ -106,7 +110,7 @@ class ADMMState:
         return cls(*children)
 
 
-def initial_state(n_vertices, n_elems, dim, m, scaling, dtype=jnp.float64):
+def initial_state(n_vertices, n_elems, dim, m, scaling, max_steps, dtype=jnp.float64):
     z = lambda *s: jnp.zeros(s, dtype=dtype)
     return ADMMState(
         u=z(dim, n_vertices),
@@ -123,6 +127,7 @@ def initial_state(n_vertices, n_elems, dim, m, scaling, dtype=jnp.float64):
         u_diff_norm=jnp.asarray(jnp.inf, dtype),
         lam_inc_norm=jnp.asarray(jnp.inf, dtype),
         max_grad_norm=jnp.asarray(0.0, dtype),
+        stats=z(max_steps, 6),
     )
 
 
@@ -162,10 +167,14 @@ def newton_xupdate(
     ref_barycenter,
     u0,
     Lambda0,
+    extra_hvp=None,
 ):
     """Constrained Newton (KKT via dense m x m Schur complement).
 
     Fields: u, Jp_base, free are (C, V); lam/q_proj are (d, d, E).
+    extra_hvp: optional x -> H2 @ x term added to the Hessian (the
+    second-order shape-derivative term behind the reference's -b2ndOrder
+    flag, 2d:86,389; see models.obstacle).
     Returns (u, Lambda, newton_iters, lin_iters, failed)."""
     pat = struct.patterns[-1]
     vals = mgdata.vals[-1]
@@ -182,6 +191,8 @@ def newton_xupdate(
         hx = Aop(x) + dfm.constraint_hvp(
             coords, elems, u, Lambda, ref_volume, ref_barycenter, x * free
         ) * free
+        if extra_hvp is not None:
+            hx = hx + extra_hvp(x * free) * free
         return hx
 
     def solve_h(u, Lambda, rhs_batch):
@@ -270,6 +281,7 @@ def admm_inner(
     scaling0,
     ref_volume,
     ref_barycenter,
+    extra_hvp=None,
 ):
     """Full ADMM loop for one optimization step (jit-compatible).
 
@@ -277,7 +289,8 @@ def admm_inner(
     step-size control (reference 2d:1226-1280)."""
     m = 1 + coords.shape[1]
     state = initial_state(
-        coords.shape[0], elems.shape[0], coords.shape[1], m, scaling0, coords.dtype
+        coords.shape[0], elems.shape[0], coords.shape[1], m, scaling0,
+        cfg.admm_steps, coords.dtype,
     )
 
     def cond(st: ADMMState):
@@ -299,7 +312,7 @@ def admm_inner(
         u, Lambda, nit, nlin, x_failed = newton_xupdate(
             cfg, struct, mgdata, coords, elems, free, Jp_base,
             st.scaling, st.lam, q_proj, ref_volume, ref_barycenter,
-            st.u, jnp.zeros_like(st.Lambda),
+            st.u, jnp.zeros_like(st.Lambda), extra_hvp=extra_hvp,
         )
 
         # ---- dual ascent (2d:1181-1185) ------------------------------------
@@ -322,6 +335,17 @@ def admm_inner(
         # counter, keeping u/lambda (reference 2d:1230-1243 only rescales J'
         # and resets the step counter)
         scaling = jnp.where(fake, st.scaling * 2.0, st.scaling)
+        row = jnp.stack(
+            [
+                st.scaling,
+                sigma_threshold * jnp.ones_like(st.scaling),
+                u_diff_norm,
+                lam_inc_norm,
+                max_norm,
+                sigma_threshold - max_norm,
+            ]
+        )
+        stats = st.stats.at[jnp.minimum(st.admm_it, cfg.admm_steps - 1)].set(row)
         admm_it = jnp.where(fake, 0, st.admm_it + 1)
         # convergence is checked BEFORE the max-step failure (reference
         # 2d:1226 precedes 2d:1245)
@@ -342,6 +366,7 @@ def admm_inner(
             u_diff_norm=u_diff_norm,
             lam_inc_norm=lam_inc_norm,
             max_grad_norm=max_norm,
+            stats=stats,
         )
         # freeze lanes that were already finished (vmap semantics)
         return jax.tree_util.tree_map(

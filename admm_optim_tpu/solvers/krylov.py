@@ -151,27 +151,74 @@ def gmres(
     abs_tol: float = 1e-12,
     rel_tol: float = 0.0,
 ) -> SolveResult:
-    """Thin wrapper over jax.scipy GMRES (used for the nonsymmetric NS
-    Jacobian; the reference uses BiCGStab there, obstacle_optim_util.lua:49).
-    """
-    import jax.scipy.sparse.linalg as jsl
+    """Restarted flexible GMRES with modified Gram-Schmidt +
+    reorthogonalization (used for the nonsymmetric NS Jacobian; the
+    reference uses BiCGStab there, obstacle_optim_util.lua:49).
 
+    Hand-rolled instead of jax.scipy's: the library implementation produces
+    NaNs in float32 near stagnation (observed on TPU); this one is
+    breakdown-safe (zero Krylov rows are skipped by the small lstsq) and
+    preserves ConvCheck semantics.  Flexible: M may itself be an iterative
+    process (V-cycles)."""
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    nrm0 = _norm(b - A(x0))
-    tol_eff = jnp.maximum(abs_tol, rel_tol * nrm0) / jnp.maximum(_norm(b), 1e-300)
-    # jax.scipy's maxiter counts RESTART CYCLES (each doing `restart`
-    # preconditioned matvecs); interpret max_iters as total matvecs
-    x, _ = jsl.gmres(
-        A,
-        b,
-        x0=x0,
-        tol=tol_eff,
-        atol=abs_tol,
-        restart=restart,
-        maxiter=max(1, -(-max_iters // restart)),
-        M=M if M is not None else None,
-        solve_method="batched",
-    )
-    nrm = _norm(b - A(x))
-    return SolveResult(x, jnp.array(-1, jnp.int32), nrm, nrm <= jnp.maximum(abs_tol, rel_tol * nrm0) * 1.001)
+    if M is None:
+        M = lambda r: r
+    m = restart
+    n_cycles = max(1, -(-max_iters // restart))
+    r0 = b - A(x0)
+    nrm0 = _norm(r0)
+    tol = jnp.maximum(abs_tol, rel_tol * nrm0)
+    dtype = b.dtype
+    n = b.shape[0]
+
+    def arnoldi_cycle(x):
+        r = b - A(x)
+        beta = _norm(r)
+        V = jnp.zeros((m + 1, n), dtype)
+        Z = jnp.zeros((m, n), dtype)
+        H = jnp.zeros((m + 1, m), dtype)
+        V = V.at[0].set(r / jnp.maximum(beta, 1e-30))
+
+        def step(j, carry):
+            V, Z, H = carry
+            z = M(V[j])
+            w = A(z)
+            # MGS via full-basis projection (unfilled rows are zero) + one
+            # reorthogonalization pass for float32
+            h1 = V @ w
+            w = w - V.T @ h1
+            h2 = V @ w
+            w = w - V.T @ h2
+            h = h1 + h2
+            wn = _norm(w)
+            V = V.at[j + 1].set(w / jnp.maximum(wn, 1e-30))
+            H = H.at[:, j].set(h)
+            H = H.at[j + 1, j].set(wn)
+            Z = Z.at[j].set(z)
+            return (V, Z, H)
+
+        V, Z, H = jax.lax.fori_loop(0, m, step, (V, Z, H))
+        e1 = jnp.zeros(m + 1, dtype).at[0].set(beta)
+        y = jnp.linalg.lstsq(H, e1)[0]
+        return x + Z.T @ y
+
+    def cond(state):
+        x, it, nrm = state
+        return (nrm > tol) & (it < n_cycles)
+
+    def body(state):
+        x, it, nrm = state
+        x_new = arnoldi_cycle(x)
+        nrm_new = _norm(b - A(x_new))
+        # keep the better iterate (restart cycles can stagnate in f32)
+        better = nrm_new < nrm
+        x_new = jnp.where(better, x_new, x)
+        nrm_new = jnp.minimum(nrm_new, nrm)
+        new = (x_new, it + 1, nrm_new)
+        return jax.tree_util.tree_map(
+            lambda a, bb: jnp.where(cond(state), a, bb), new, state
+        )
+
+    x, it, nrm = jax.lax.while_loop(cond, body, (x0, jnp.array(0, jnp.int32), nrm0))
+    return SolveResult(x, it * m, nrm, nrm <= tol)
