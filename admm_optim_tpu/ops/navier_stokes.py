@@ -197,11 +197,12 @@ def ns_residual(
 
     r_div_e = jnp.einsum("qe,qe,qa->ae", wdet, divv, val_p)  # (nl, E)
     if stab != 0.0:
-        # Brezzi-Pitkaranta: -stab * h_e^2 (grad p, grad psi) on each element
+        # Brezzi-Pitkaranta: +stab * h_e^2 (grad p, grad psi) - the sign that
+        # ADDS to the pressure Schur complement (C + D A^-1 D^T definite)
         gp1 = p1_phys_grads(Jinv)  # (nl, d, E)
         gradp = jnp.einsum("ade,ae->de", gp1, pe)
         h2 = vol ** (2.0 / d)
-        r_div_e = r_div_e - stab * jnp.einsum("e,de,ade->ae", h2 * vol, gradp, gp1)
+        r_div_e = r_div_e + stab * jnp.einsum("e,de,ade->ae", h2 * vol, gradp, gp1)
 
     vseg = vel_dofs_t.reshape(-1)
     r_mom = jax.vmap(

@@ -86,3 +86,21 @@ def test_adjoint_and_shape_gradient_match_fd(setup):
     fd = (reduced(eps) - reduced(-eps)) / (2 * eps)
     ad = float(jnp.vdot(Jp, dX))
     assert ad == pytest.approx(fd, rel=2e-4), f"AD {ad} vs FD {fd}"
+
+
+def test_p1p1_stabilized(setup):
+    """Equal-order P1/P1 with Brezzi-Pitkaranta stabilization (the
+    reference's `stab` knob, 2d_admm.lua:47) solves and lands near the
+    Taylor-Hood drag value."""
+    hier, lvl, space2, coords = setup
+    space1 = nsops.NSSpace.build(lvl, vorder=1)
+    g = nsops.inlet_values(space1, coords)
+    s0 = space1.pack(g, jnp.zeros(space1.n_pressure))
+    s, it, nrm, conv = ns_solver.newton_solve(space1, coords, s0, VISC, stab=0.05)
+    assert bool(conv), f"P1/P1 Newton failed: {float(nrm)}"
+    d1 = float(nsops.drag(space1, coords, s, VISC))
+    # P2/P1 reference value on the same mesh
+    s2, _, _, c2 = ns_solver.newton_solve(space2, coords, _initial_state(space2, coords), VISC)
+    assert bool(c2)
+    d2 = float(nsops.drag(space2, coords, s2, VISC))
+    assert d1 == pytest.approx(d2, rel=0.25), (d1, d2)
