@@ -95,16 +95,26 @@ def _tag_subsets(
     return vmask, emask, elmask, fdict
 
 
-def _build_level(coords, elems, lo, hi, obs_lo, obs_hi) -> MeshLevel:
+def _build_level(
+    coords, elems, lo, hi, obs_lo, obs_hi, reorient=True, bricks=None, epb=0
+) -> MeshLevel:
     dim = coords.shape[1]
-    elems = _orient_positive(coords, elems.astype(np.int32))
+    elems = elems.astype(np.int32)
+    if reorient:
+        # brick meshes must NOT be reoriented: the canonical (path-ordered
+        # Kuhn / fixed-diagonal) vertex order is what keeps refinement
+        # translation-invariant for the patch-stencil fast path.
+        elems = _orient_positive(coords, elems)
     loc = TET_EDGES if dim == 3 else TRI_EDGES
     edges = _edge_table(elems[:, loc].reshape(-1, 2))
     elem_edges = _edge_lookup(edges, np.sort(elems[:, loc], axis=-1))
     vmask, emask, elmask, fdict = _tag_subsets(coords, elems, edges, lo, hi, obs_lo, obs_hi)
     V = len(coords)
     parents = np.stack([np.arange(V)] * 2, axis=1).astype(np.int32)
-    return MeshLevel(dim, coords, elems, edges, elem_edges, parents, vmask, emask, elmask, fdict)
+    return MeshLevel(
+        dim, coords, elems, edges, elem_edges, parents, vmask, emask, elmask,
+        fdict, bricks=bricks, elems_per_brick=epb,
+    )
 
 
 def _axis(lo, hi, obs_lo, obs_hi, n_side):
@@ -121,8 +131,14 @@ def channel_2d(
     obs_lo=(-0.5, -0.5),
     obs_hi=(0.5, 0.5),
     n_side=(6, 2),
+    diag="alt",
 ) -> MeshLevel:
-    """Structured triangulated channel with a square obstacle hole."""
+    """Structured triangulated channel with a square obstacle hole.
+
+    diag="alt": union-jack-ish alternating diagonal (symmetric-ish mesh).
+    diag="fixed": every quad split along the SAME diagonal a-c with canonical
+    vertex order [a,b,c]/[a,c,d] and brick metadata attached - required for
+    the patch-stencil fast path (core.patches)."""
     lo, hi = np.asarray(lo, float), np.asarray(hi, float)
     obs_lo, obs_hi = np.asarray(obs_lo, float), np.asarray(obs_hi, float)
     xs = _axis(lo[0], hi[0], obs_lo[0], obs_hi[0], n_side[0])
@@ -134,15 +150,18 @@ def channel_2d(
     def vid(i, j):
         return i * (ny + 1) + j
 
-    tris = []
+    tris, bricks = [], []
     for i in range(nx):
         for j in range(ny):
             cc = coords[[vid(i, j), vid(i + 1, j + 1)]].mean(axis=0)
             if np.all((cc > obs_lo - EPS) & (cc < obs_hi + EPS)):
                 continue  # hole
             a, b, c, d = vid(i, j), vid(i + 1, j), vid(i + 1, j + 1), vid(i, j + 1)
-            # union-jack-ish split for symmetry: alternate the diagonal
-            if (i + j) % 2 == 0:
+            if diag == "fixed":
+                tris += [[a, b, c], [a, c, d]]
+                # corner order (x-major bit order): (0,0),(0,1),(1,0),(1,1)
+                bricks.append([a, d, b, c])
+            elif (i + j) % 2 == 0:
                 tris += [[a, b, c], [a, c, d]]
             else:
                 tris += [[a, b, d], [b, c, d]]
@@ -150,20 +169,39 @@ def channel_2d(
     used = np.unique(elems)
     remap = -np.ones(len(coords), dtype=np.int64)
     remap[used] = np.arange(len(used))
-    return _build_level(coords[used], remap[elems].astype(np.int32), lo, hi, obs_lo, obs_hi)
+    kw = {}
+    if diag == "fixed":
+        kw = dict(
+            reorient=False,
+            bricks=remap[np.asarray(bricks, dtype=np.int64)].astype(np.int32),
+            epb=2,
+        )
+    return _build_level(
+        coords[used], remap[elems].astype(np.int32), lo, hi, obs_lo, obs_hi, **kw
+    )
 
 
-KUHN_TETS = np.array(
-    [  # Kuhn decomposition of the unit cube into 6 tets along diag (0,0,0)-(1,1,1)
-        [0b000, 0b100, 0b110, 0b111],
-        [0b000, 0b110, 0b010, 0b111],
-        [0b000, 0b010, 0b011, 0b111],
-        [0b000, 0b011, 0b001, 0b111],
-        [0b000, 0b001, 0b101, 0b111],
-        [0b000, 0b101, 0b100, 0b111],
-    ],
-    dtype=np.int32,
-)
+def _path_kuhn_tets() -> np.ndarray:
+    """Kuhn decomposition of the unit cube into 6 tets along the main
+    diagonal, in canonical MONOTONE-PATH vertex order: for each axis
+    permutation sigma, v0=000, v_i = v_{i-1} + e_{sigma(i)}.  This ordering
+    makes Bey red refinement exactly self-similar (6 translation classes,
+    15-point lattice stencil at every level - verified in tests), which the
+    patch-stencil fast path depends on.  Half the tets have negative detJ;
+    all assembly uses |detJ| (ops.geometry)."""
+    import itertools
+
+    tets = []
+    for sig in itertools.permutations(range(3)):
+        v, acc = [0], 0
+        for ax in sig:
+            acc |= 4 >> ax  # e_x=0b100, e_y=0b010, e_z=0b001
+            v.append(acc)
+        tets.append(v)
+    return np.asarray(tets, dtype=np.int32)
+
+
+KUHN_TETS = _path_kuhn_tets()
 
 
 def channel_3d(
@@ -185,7 +223,7 @@ def channel_3d(
     def vid(i, j, k):
         return i * sy + j * sz + k
 
-    tets = []
+    tets, bricks = [], []
     corner_off = np.array(
         [[(c >> 2) & 1, (c >> 1) & 1, c & 1] for c in range(8)], dtype=np.int64
     )
@@ -198,10 +236,21 @@ def channel_3d(
                 cid = [
                     vid(i + o[0], j + o[1], k + o[2]) for o in corner_off
                 ]
+                bricks.append(cid)
                 for t in KUHN_TETS:
                     tets.append([cid[t[0]], cid[t[1]], cid[t[2]], cid[t[3]]])
     elems = np.asarray(tets, dtype=np.int32)
     used = np.unique(elems)
     remap = -np.ones(len(coords), dtype=np.int64)
     remap[used] = np.arange(len(used))
-    return _build_level(coords[used], remap[elems].astype(np.int32), lo, hi, obs_lo, obs_hi)
+    return _build_level(
+        coords[used],
+        remap[elems].astype(np.int32),
+        lo,
+        hi,
+        obs_lo,
+        obs_hi,
+        reorient=False,
+        bricks=remap[np.asarray(bricks, dtype=np.int64)].astype(np.int32),
+        epb=6,
+    )

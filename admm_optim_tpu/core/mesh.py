@@ -94,6 +94,11 @@ class MeshLevel:
     subset_elems: dict[str, np.ndarray]  # name -> bool (E,)
     # 3D only: boundary faces per subset as (Fs,3) vertex triples
     subset_faces: dict[str, np.ndarray]
+    # optional brick-patch metadata (geomgen): (P, 2^dim) corner vertex ids in
+    # (x-major bit order); elems are brick-contiguous (elems_per_brick each).
+    # Enables the patch-stencil fast path (core.patches).
+    bricks: np.ndarray | None = None
+    elems_per_brick: int = 0
 
     @property
     def num_vertices(self) -> int:
@@ -189,7 +194,13 @@ def refine(lvl: MeshLevel) -> MeshLevel:
             axis=1,
         )  # (E, 8, 4)
         nchild = 8
-    elems = _orient_positive(coords, children.reshape(-1, dim + 1).astype(np.int32))
+    # NOTE: children are NOT re-oriented.  Keeping the deterministic child
+    # vertex order preserves Bey/red self-similarity, so brick/Kuhn meshes
+    # have a translation-invariant element-class structure on the refined
+    # lattice (6 classes / 15-point stencil in 3D) - the basis of the
+    # patch-stencil fast path (core.patches).  All assembly uses the
+    # unsigned measure |detJ| (ops.geometry), so orientation is free.
+    elems = children.reshape(-1, dim + 1).astype(np.int32)
 
     edges, elem_edges = _edges_and_elem_edges(coords, elems)
 

@@ -237,7 +237,12 @@ class ObstacleShapeOpt:
         )
         self._cur_s = None
         self._cur_lam_adj = None
-        self._min_det = jax.jit(lambda X: jnp.min(elem_geometry(X, self.elems)[1]))
+        # element-inversion check must be relative to the undeformed mesh's
+        # orientation (brick/Kuhn meshes carry mixed signed orientations)
+        _s0 = jnp.sign(elem_geometry(self.X0, self.elems)[1])
+        self._min_det = jax.jit(
+            lambda X: jnp.min(_s0 * elem_geometry(X, self.elems)[1])
+        )
 
     # ------------------------------------------------------------------
     def initial_state(self, X) -> jnp.ndarray:

@@ -40,6 +40,26 @@ from .geometry import elem_geometry, gather_elem, p1_phys_grads, sdet
 # element matrices for the constant SPD part  a(u,w) + tau * (grad u, grad w)
 # ---------------------------------------------------------------------------
 
+def deformation_corner_mats(x, c_eps, c_grad, c_mass):
+    """Like deformation_elem_mats but from explicit corner positions
+    x (d, nl, ...) - any trailing batch layout (used by the patch-stencil
+    assembly, ops.patchstencil, where corners come from lattice slices)."""
+    from .geometry import corner_geometry
+
+    d = x.shape[0]
+    nl = d + 1
+    _, _, Jinv, vol = corner_geometry(x)
+    g = p1_phys_grads(Jinv)  # (nl, d, ...)
+    K = jnp.einsum("ia...,ja...->ij...", g, g) * vol
+    eyeC = jnp.eye(d, dtype=x.dtype)
+    cross = jnp.einsum("id...,jc...,...->cdij...", g, g, vol)
+    A = jnp.einsum("cd,ij...->cdij...", (c_grad + 0.5 * c_eps) * eyeC, K)
+    A = A + 0.5 * c_eps * cross
+    mfac = (jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))
+    A = A + c_mass * jnp.einsum("cd,ij,...->cdij...", eyeC, mfac.astype(x.dtype), vol)
+    return A
+
+
 def deformation_elem_mats(coords, elems, c_eps, c_grad, c_mass):
     """(C, C, nl, nl, E) analytic P1 vector element matrices for
     c_eps*eps(u):eps(w) + c_grad*grad(u):grad(w) + c_mass*u.w.

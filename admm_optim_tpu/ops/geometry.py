@@ -68,14 +68,29 @@ def gather_elem(coords: jnp.ndarray, elems: jnp.ndarray) -> jnp.ndarray:
 def elem_geometry(coords, elems):
     """-> (J (d,d,E), detJ (E,), Jinv (d,d,E), vol (E,)).
 
-    J columns are the simplex edge vectors x_i - x_0; elements are kept
-    positively oriented by core.mesh, so detJ > 0 on the undeformed mesh."""
+    J columns are the simplex edge vectors x_i - x_0.  ``detJ`` is SIGNED
+    (element orientation is preserved through refinement so that brick/Kuhn
+    lattice meshes keep a translation-invariant element-class structure —
+    see core.patches); ``vol`` is the unsigned measure |detJ|/d!.  Inversion
+    checks must compare sign(detJ) against the undeformed mesh."""
     d = coords.shape[1]
     x = gather_elem(coords, elems)  # (d, nl, E)
     J = x[:, 1:, :] - x[:, :1, :]  # (d, d, E): J[a, b] = edge vector b, comp a
     det = sdet(J)
     Jinv = sinv(J, det)
-    vol = det / math.factorial(d)
+    vol = jnp.abs(det) / math.factorial(d)
+    return J, det, Jinv, vol
+
+
+def corner_geometry(x):
+    """Geometry from explicit corner positions x (d, nl, ...): same outputs
+    as elem_geometry but for any batch layout (used by the patch-stencil
+    assembly where corners come from lattice slices, not index gathers)."""
+    d = x.shape[0]
+    J = x[:, 1:] - x[:, :1]
+    det = sdet(J)
+    Jinv = sinv(J, det)
+    vol = jnp.abs(det) / math.factorial(d)
     return J, det, Jinv, vol
 
 
@@ -87,7 +102,8 @@ def p1_ref_grads(d: int) -> np.ndarray:
 
 
 def p1_phys_grads(Jinv):
-    """Physical P1 basis gradients (nl, d, E): g[b, :, e] = g_ref[b, :] @ Jinv[:, :, e]."""
+    """Physical P1 basis gradients (nl, d, ...): g[b, :, ...] =
+    g_ref[b, :] @ Jinv[:, :, ...] for any trailing batch layout."""
     d = Jinv.shape[0]
     dl = jnp.asarray(p1_ref_grads(d), dtype=Jinv.dtype)
-    return jnp.einsum("br,rde->bde", dl, Jinv)
+    return jnp.einsum("br,rd...->bd...", dl, Jinv)

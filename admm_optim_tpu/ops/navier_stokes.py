@@ -186,7 +186,7 @@ def ns_residual(
     pq = jnp.einsum("qa,ae->qe", val_p, pe)
     divv = jnp.einsum("ccqe->qe", gradv)
 
-    wdet = qw[:, None] * detJ[None, :] / _dfact(d)  # (nq, E)
+    wdet = qw[:, None] * jnp.abs(detJ)[None, :] / _dfact(d)  # (nq, E)
 
     conv = jnp.einsum("dqe,cdqe->cqe", vq, gradv)  # (v.grad)v
     # momentum: nu grad v : grad w + conv.w - p div w
@@ -242,7 +242,7 @@ def drag(space: NSSpace, coords: jnp.ndarray, s: jnp.ndarray, visc: float) -> jn
     gv = jnp.einsum("qbr,rde->qbde", gref, Jinv)
     ve = v[:, jnp.asarray(space.vel_dofs).T]  # (c, nbv, E)
     gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)
-    wdet = qw[:, None] * detJ[None, :] / _dfact(d)
+    wdet = qw[:, None] * jnp.abs(detJ)[None, :] / _dfact(d)
     return 0.5 * visc * jnp.einsum("qe,cdqe,cdqe->", wdet, gradv, gradv)
 
 
@@ -261,7 +261,7 @@ def diag_preconditioner(space: NSSpace, coords: jnp.ndarray, visc: float):
     val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
     gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
     gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)
-    wdet = qw[:, None] * detJ[None, :] / _dfact(d)
+    wdet = qw[:, None] * jnp.abs(detJ)[None, :] / _dfact(d)
     kdiag_e = jnp.einsum("qe,qbde,qbde->be", wdet, gv, gv)
     mdiag_e = jnp.einsum("qe,qb,qb->be", wdet, val_v, val_v)
     kdiag = jax.ops.segment_sum(

@@ -1,0 +1,220 @@
+"""Device kernels for the brick-patch lattice backend (see core.patches).
+
+Everything here is static-slice arithmetic on dense patch arrays
+``(C, *lat, P)`` (lattice dims major, patch axis on TPU lanes) - no gathers
+in any hot path.  The operator is stored as a per-site stencil
+
+    W (C, C, O, *lat, P):   y[c, s] = sum_o sum_d W[c, d, o, s] * x[d, s+o]
+
+with O = 7 (2D) / 15 (3D) fixed lattice offsets.  Compared to the block-ELL
+SpMV (ops.sparsity) this removes the per-element gather that measures
+~1 element/cycle on v5e (4.4 of 5.2 ms at 367k DoF); the stencil apply is
+pure HBM-bandwidth on W.
+
+Duplicated-site semantics (the UG4 additive/consistent storage protocol,
+2d_admm.lua:904-961): patch arrays of a global vector hold IDENTICAL values
+at sites shared between bricks ("consistent"); operator application yields
+per-patch partial sums ("additive"); `exchange_sum` restores consistency by
+summing duplicates - a segment-sum over boundary slots only.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.patches import PatchLevel, PatchSet
+
+
+# ---------------------------------------------------------------------------
+# slicing helpers
+# ---------------------------------------------------------------------------
+
+def _dst_src(o, lat_shape):
+    """Static slice pairs so that dst[s] aligns with src[s] = s + o."""
+    dst, src = [], []
+    for oo, n in zip(o, lat_shape):
+        oo = int(oo)
+        dst.append(slice(max(-oo, 0), n - max(oo, 0)))
+        src.append(slice(max(oo, 0), n + min(oo, 0)))
+    return tuple(dst), tuple(src)
+
+
+def shift_read(x, o, lat_axes_offset=0):
+    """y[s] = x[s + o] with 0 outside; lattice dims start at axis
+    lat_axes_offset."""
+    lat_shape = x.shape[lat_axes_offset : lat_axes_offset + len(o)]
+    dst, src = _dst_src(o, lat_shape)
+    pre = (slice(None),) * lat_axes_offset
+    y = jnp.zeros_like(x)
+    return y.at[pre + dst].set(x[pre + src])
+
+
+# ---------------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------------
+
+def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
+    """Assemble the stencil operator on one level.
+
+    coords_p: (d, *lat, P) lattice coordinates for that level.
+    corner_mat_fn: corners (d, nl, *cells, P) -> (C, C, nl, nl, *cells, P)
+    element matrices (e.g. ops.deformation.deformation_corner_mats).
+
+    Equivalent of assemble_jacobian on AssembledLinearOperator (reference
+    2d_admm.lua:331,954) for translation-invariant brick lattices: per
+    element class, corner positions come from static lattice slices and the
+    nl x nl local couplings accumulate into stencil slots by offset
+    difference - zero gather/scatter."""
+    dim = ps.dim
+    lvl = ps.levels[level]
+    m = lvl.m
+    lat = lvl.lat_shape
+    P = lvl.P
+    C = dim
+    O = len(ps.stencil)
+    W = jnp.zeros((C, C, O) + lat + (P,), coords_p.dtype)
+    for co in ps.class_offsets:  # (nl, dim)
+        cells = tuple(slice(int(o), int(o) + m) for o in co[0])
+        corners = jnp.stack(
+            [
+                coords_p[(slice(None),) + tuple(slice(int(o), int(o) + m) for o in cv)]
+                for cv in co
+            ],
+            axis=1,
+        )  # (d, nl, *m^dim, P)
+        A = corner_mat_fn(corners)  # (C, C, nl, nl, *m^dim, P)
+        del cells
+        for a in range(dim + 1):
+            site_a = tuple(slice(int(o), int(o) + m) for o in co[a])
+            for b in range(dim + 1):
+                slot = ps.stencil_slot[tuple(int(x) for x in (co[b] - co[a]))]
+                W = W.at[(slice(None), slice(None), slot) + site_a].add(A[:, :, a, b])
+    return W
+
+
+def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
+    """Zero Dirichlet rows and columns of W (free subspace solves; fixed
+    dofs carry x=0 and are masked out of all vectors).  Mirrors
+    DirichletBoundary + adjust_solution (2d_admm.lua:240-258)."""
+    lvl = ps.levels[level]
+    free = jnp.asarray(lvl.free, W.dtype) if free is None else free  # (*lat, P)
+    W = W * free[None, None, None]  # rows
+    cols = jnp.stack(
+        [shift_read(free, o) for o in ps.stencil], axis=0
+    )  # (O, *lat, P): free at s+o
+    return W * cols[None, None]
+
+
+def stencil_diag(ps: PatchSet, level: int, W):
+    """Additive per-copy diagonal (C, *lat, P): W[c, c, 0]."""
+    C = W.shape[0]
+    return W[jnp.arange(C), jnp.arange(C), 0]
+
+
+def apply_w(ps: PatchSet, W, x):
+    """Additive operator application: x consistent (C, *lat, P) ->
+    y additive (C, *lat, P)."""
+    dim = ps.dim
+    lat = x.shape[1 : 1 + dim]
+    y = jnp.einsum("cd...,d...->c...", W[:, :, 0], x)
+    for oi in range(1, len(ps.stencil)):
+        o = ps.stencil[oi]
+        dst, src = _dst_src(o, lat)
+        pre = (slice(None),)
+        contrib = jnp.einsum(
+            "cd...,d...->c...", W[(slice(None), slice(None), oi) + dst], x[pre + src]
+        )
+        y = y.at[pre + dst].add(contrib)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# consistency exchange / inner products / global glue
+# ---------------------------------------------------------------------------
+
+def exchange_sum(lvl: PatchLevel, x):
+    """additive -> consistent: sum duplicated boundary sites (psum analogue
+    of UG4's change_storage_type_to_consistent, 2d_admm.lua:904)."""
+    C = x.shape[0]
+    bslots = jnp.asarray(lvl.bslots)
+    bseg = jnp.asarray(lvl.bseg)
+    xf = x.reshape(C, -1)
+    xb = xf[:, bslots]  # (C, B)
+    s = jax.vmap(lambda v: jax.ops.segment_sum(v, bseg, num_segments=lvl.nseg))(xb)
+    return xf.at[:, bslots].set(s[:, bseg]).reshape(x.shape)
+
+
+def owner_dot(lvl: PatchLevel, x, y):
+    """Global inner product of two consistent patch vectors."""
+    w = jnp.asarray(lvl.owner, x.dtype)
+    return jnp.sum(x * y * w[None])
+
+
+def to_patch(lvl: PatchLevel, v_global):
+    """global (C, V) consistent -> patch (C, *lat, P)."""
+    gid = jnp.asarray(lvl.gid)  # (P, *lat)
+    g = jnp.moveaxis(gid, 0, -1)  # (*lat, P)
+    return v_global[:, g]
+
+
+def from_patch(lvl: PatchLevel, x, n_vertices: int, mode: str = "owner"):
+    """patch (C, *lat, P) -> global (C, V).
+
+    mode "owner": pick each site's owning copy (consistent input);
+    mode "sum":   sum all copies (additive input)."""
+    C = x.shape[0]
+    gid = jnp.moveaxis(jnp.asarray(lvl.gid), 0, -1).reshape(-1)  # (S*P,)
+    xf = x.reshape(C, -1)
+    if mode == "owner":
+        xf = xf * jnp.asarray(lvl.owner, x.dtype).reshape(-1)[None]
+    return jax.vmap(
+        lambda v: jax.ops.segment_sum(v, gid, num_segments=n_vertices)
+    )(xf)
+
+
+# ---------------------------------------------------------------------------
+# MG transfers (pure parity-strided slicing; see core.patches gid rule)
+# ---------------------------------------------------------------------------
+
+def _parity_slices(dim, pc, m):
+    """(new-lattice odd-site slices, parent1 slices, parent2 slices) for
+    parity class pc on the coarse lattice of size m+1."""
+    h = [(pc >> (dim - 1 - a)) & 1 for a in range(dim)]
+    sl_new = tuple(slice(hh, None, 2) for hh in h)
+    sl_p1 = tuple(slice(0, m + 1 - hh) for hh in h)
+    sl_p2 = tuple(slice(hh, m + 1) for hh in h)
+    return sl_new, sl_p1, sl_p2
+
+
+def prolong_p(ps: PatchSet, level_coarse: int, xc):
+    """consistent coarse (C, *latc, P) -> consistent fine (C, *latf, P).
+    P1 interpolation: copy even sites, average edge parents at odd sites."""
+    dim = ps.dim
+    m = ps.levels[level_coarse].m
+    latf = tuple(2 * m + 1 for _ in range(dim))
+    xf = jnp.zeros(xc.shape[:1] + latf + xc.shape[-1:], xc.dtype)
+    pre = (slice(None),)
+    xf = xf.at[pre + tuple(slice(0, None, 2) for _ in range(dim))].set(xc)
+    for pc in range(1, 2**dim):
+        sl_new, sl_p1, sl_p2 = _parity_slices(dim, pc, m)
+        xf = xf.at[pre + sl_new].set(0.5 * (xc[pre + sl_p1] + xc[pre + sl_p2]))
+    return xf
+
+
+def restrict_p(ps: PatchSet, level_coarse: int, rf):
+    """additive fine (C, *latf, P) -> additive coarse (transpose of
+    prolong_p)."""
+    dim = ps.dim
+    m = ps.levels[level_coarse].m
+    pre = (slice(None),)
+    rc = rf[pre + tuple(slice(0, None, 2) for _ in range(dim))]
+    for pc in range(1, 2**dim):
+        sl_new, sl_p1, sl_p2 = _parity_slices(dim, pc, m)
+        odd = 0.5 * rf[pre + sl_new]
+        rc = rc.at[pre + sl_p1].add(odd)
+        rc = rc.at[pre + sl_p2].add(odd)
+    return rc

@@ -35,14 +35,20 @@ def cg(
     max_iters: int = 2000,
     abs_tol: float = 1e-12,
     rel_tol: float = 0.0,
+    dot: Callable | None = None,
 ) -> SolveResult:
+    """dot: custom inner product (e.g. owner-weighted for duplicated
+    brick-patch vectors, solvers.patch_mg); defaults to jnp.vdot."""
+    if dot is None:
+        dot = jnp.vdot
+    _nrm = lambda x: jnp.sqrt(dot(x, x).real)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
     r0 = b - A(x0)
     z0 = M(r0)
-    nrm0 = _norm(r0)
+    nrm0 = _nrm(r0)
     tol = jnp.maximum(abs_tol, rel_tol * nrm0)
 
     def cond(state):
@@ -56,19 +62,19 @@ def cg(
         active = cond(state)
         x, r, z, p, rz, it, nrm = state
         Ap = A(p)
-        denom = jnp.vdot(p, Ap)
+        denom = dot(p, Ap)
         alpha = rz / jnp.where(denom == 0, 1.0, denom)
         x = x + alpha * p
         r = r - alpha * Ap
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
-        new = (x, r, z, p, rz_new, it + 1, _norm(r))
+        new = (x, r, z, p, rz_new, it + 1, _nrm(r))
         old = (x0_, r0_, z0_, p0_, rz0_, it0_, nrm0_)
         return jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new, old)
 
-    init = (x0, r0, z0, z0, jnp.vdot(r0, z0), jnp.array(0, jnp.int32), nrm0)
+    init = (x0, r0, z0, z0, dot(r0, z0), jnp.array(0, jnp.int32), nrm0)
     x, r, z, p, rz, it, nrm = jax.lax.while_loop(cond, body, init)
     return SolveResult(x, it, nrm, nrm <= tol)
 

@@ -38,7 +38,10 @@ def test_constraints_3d(result):
     prob, hist = result
     X = prob.X_final
     _, detJ, _, vol = elem_geometry(X, prob.elems)
-    assert float(jnp.min(detJ)) > 0
+    # orientation is mixed by design (path-ordered Kuhn tets); no inversion
+    # means every element keeps its ORIGINAL orientation sign
+    _, det0, _, _ = elem_geometry(prob.X0, prob.elems)
+    assert float(jnp.min(jnp.sign(det0) * detJ)) > 0
     assert float(jnp.sum(vol)) == pytest.approx(float(prob.ref_volume), rel=1e-6)
     bary = dfm.barycenter(X, prob.elems, jnp.zeros_like(X.T))
     np.testing.assert_allclose(
