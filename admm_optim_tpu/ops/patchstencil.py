@@ -68,17 +68,18 @@ def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
     2d_admm.lua:331,954) for translation-invariant brick lattices: per
     element class, corner positions come from static lattice slices and the
     nl x nl local couplings accumulate into stencil slots by offset
-    difference - zero gather/scatter."""
+    difference.  Scatter-free: contributions are zero-PADDED from the cell
+    box (m^d) to the site lattice (m+1)^d and summed per slot - XLA fuses
+    padded adds; dynamic-update-slice accumulation does not fuse and
+    compiles minutes-slow."""
     dim = ps.dim
     lvl = ps.levels[level]
     m = lvl.m
-    lat = lvl.lat_shape
     P = lvl.P
     C = dim
     O = len(ps.stencil)
-    W = jnp.zeros((C, C, O) + lat + (P,), coords_p.dtype)
+    slot_terms = [[] for _ in range(O)]
     for co in ps.class_offsets:  # (nl, dim)
-        cells = tuple(slice(int(o), int(o) + m) for o in co[0])
         corners = jnp.stack(
             [
                 coords_p[(slice(None),) + tuple(slice(int(o), int(o) + m) for o in cv)]
@@ -87,12 +88,16 @@ def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
             axis=1,
         )  # (d, nl, *m^dim, P)
         A = corner_mat_fn(corners)  # (C, C, nl, nl, *m^dim, P)
-        del cells
         for a in range(dim + 1):
-            site_a = tuple(slice(int(o), int(o) + m) for o in co[a])
+            pad = (
+                [(0, 0), (0, 0)]
+                + [(int(o), 1 - int(o)) for o in co[a]]
+                + [(0, 0)]
+            )
             for b in range(dim + 1):
                 slot = ps.stencil_slot[tuple(int(x) for x in (co[b] - co[a]))]
-                W = W.at[(slice(None), slice(None), slot) + site_a].add(A[:, :, a, b])
+                slot_terms[slot].append(jnp.pad(A[:, :, a, b], pad))
+    W = jnp.stack([sum(terms[1:], terms[0]) for terms in slot_terms], axis=2)
     return W
 
 
@@ -117,18 +122,25 @@ def stencil_diag(ps: PatchSet, level: int, W):
 
 def apply_w(ps: PatchSet, W, x):
     """Additive operator application: x consistent (C, *lat, P) ->
-    y additive (C, *lat, P)."""
+    y additive (C, *lat, P).
+
+    One zero-pad of x turns every stencil offset into a FULL-shape slice, so
+    the sum of O=7/15 terms fuses into a single pass over W (no partial-
+    region updates, which XLA materializes)."""
     dim = ps.dim
     lat = x.shape[1 : 1 + dim]
-    y = jnp.einsum("cd...,d...->c...", W[:, :, 0], x)
-    for oi in range(1, len(ps.stencil)):
+    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
+    xp = jnp.pad(x, pad)
+    y = None
+    for oi in range(len(ps.stencil)):
         o = ps.stencil[oi]
-        dst, src = _dst_src(o, lat)
-        pre = (slice(None),)
-        contrib = jnp.einsum(
-            "cd...,d...->c...", W[(slice(None), slice(None), oi) + dst], x[pre + src]
+        sl = (
+            (slice(None),)
+            + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
+            + (slice(None),)
         )
-        y = y.at[pre + dst].add(contrib)
+        t = jnp.einsum("cd...,d...->c...", W[:, :, oi], xp[sl])
+        y = t if y is None else y + t
     return y
 
 
@@ -136,21 +148,139 @@ def apply_w(ps: PatchSet, W, x):
 # consistency exchange / inner products / global glue
 # ---------------------------------------------------------------------------
 
-def exchange_sum(lvl: PatchLevel, x):
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class LevelTables:
+    """Device-side exchange/ownership tables for one patch level.
+
+    A pytree meant to be passed as a jit ARGUMENT: baking these arrays in as
+    constants (the jnp.asarray-inside-jit pattern) embeds tens of MB into
+    every compiled program, which makes compiles minutes-slow and defeats
+    the persistent compilation cache."""
+
+    owner: jnp.ndarray
+    free: jnp.ndarray
+    face_nbr: jnp.ndarray | None
+    face_mask: jnp.ndarray | None
+    corr_idx: tuple | None
+    corr_group_oh: jnp.ndarray | None
+    corr_slab_oh: tuple | None
+    corr_keep: tuple | None
+    bslots: jnp.ndarray | None
+    bseg: jnp.ndarray | None
+    # static
+    nseg: int = 0
+    corr_nseg: int = 0
+    use_slab: bool = False
+
+    def tree_flatten(self):
+        children = (
+            self.owner, self.free, self.face_nbr, self.face_mask,
+            self.corr_idx, self.corr_group_oh, self.corr_slab_oh,
+            self.corr_keep, self.bslots, self.bseg,
+        )
+        return children, (self.nseg, self.corr_nseg, self.use_slab)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
+    slab = lvl.use_slab
+    return LevelTables(
+        owner=jnp.asarray(lvl.owner, dtype),
+        free=jnp.asarray(lvl.free, dtype),
+        face_nbr=jnp.asarray(lvl.face_nbr) if slab else None,
+        face_mask=jnp.asarray(lvl.face_mask, dtype) if slab else None,
+        corr_idx=(
+            tuple(jnp.asarray(i) for i in lvl.corr_idx)
+            if slab and lvl.corr_nseg
+            else None
+        ),
+        corr_group_oh=(
+            jnp.asarray(lvl.corr_group_oh, dtype) if slab and lvl.corr_nseg else None
+        ),
+        corr_slab_oh=(
+            tuple(jnp.asarray(o, dtype) for o in lvl.corr_slab_oh)
+            if slab and lvl.corr_nseg
+            else None
+        ),
+        corr_keep=(
+            tuple(jnp.asarray(k2, dtype) for k2 in lvl.corr_keep)
+            if slab and lvl.corr_nseg
+            else None
+        ),
+        bslots=None if slab else jnp.asarray(lvl.bslots),
+        bseg=None if slab else jnp.asarray(lvl.bseg),
+        nseg=lvl.nseg,
+        corr_nseg=lvl.corr_nseg,
+        use_slab=slab,
+    )
+
+
+def exchange_sum(lvl: PatchLevel, x, tab: LevelTables | None = None):
     """additive -> consistent: sum duplicated boundary sites (psum analogue
-    of UG4's change_storage_type_to_consistent, 2d_admm.lua:904)."""
+    of UG4's change_storage_type_to_consistent, 2d_admm.lua:904).
+
+    Fast path (use_slab, verified at build time): `dim` sequential axis
+    sweeps; each adds the axis-neighbor's opposite face slab via one tiny
+    patch-axis gather + static slab writes; staircase-broken edge/corner
+    groups are fixed scatter-free via one-hot matmuls.  Measured ~7x faster
+    than the segment-sum path on v5e (dynamic scatters into large arrays
+    cost ~5 ms regardless of index count)."""
+    if tab is None:
+        tab = make_tables(lvl, x.dtype)
+    if tab.use_slab:
+        return _exchange_slab(tab, x)
+    return _exchange_segsum(tab, x)
+
+
+def _exchange_segsum(tab: LevelTables, x):
     C = x.shape[0]
-    bslots = jnp.asarray(lvl.bslots)
-    bseg = jnp.asarray(lvl.bseg)
     xf = x.reshape(C, -1)
-    xb = xf[:, bslots]  # (C, B)
-    s = jax.vmap(lambda v: jax.ops.segment_sum(v, bseg, num_segments=lvl.nseg))(xb)
-    return xf.at[:, bslots].set(s[:, bseg]).reshape(x.shape)
+    xb = xf[:, tab.bslots]  # (C, B)
+    s = jax.vmap(
+        lambda v: jax.ops.segment_sum(v, tab.bseg, num_segments=tab.nseg)
+    )(xb)
+    return xf.at[:, tab.bslots].set(s[:, tab.bseg]).reshape(x.shape)
 
 
-def owner_dot(lvl: PatchLevel, x, y):
+def _exchange_slab(tab: LevelTables, x):
+    dim = x.ndim - 2  # (C, *lat, P)
+    C = x.shape[0]
+    lat = x.shape[1 : 1 + dim]
+    nbr = tab.face_nbr
+    mask = tab.face_mask.astype(x.dtype)
+    x_in = x
+    for a in range(dim):
+        lo = [slice(None)] * (dim + 2)
+        hi = [slice(None)] * (dim + 2)
+        lo[1 + a], hi[1 + a] = 0, lat[a] - 1
+        lo, hi = tuple(lo), tuple(hi)
+        slab_lo, slab_hi = x[lo], x[hi]
+        new_lo = slab_lo + slab_hi[..., nbr[a, 0]] * mask[a, 0]
+        new_hi = slab_hi + slab_lo[..., nbr[a, 1]] * mask[a, 1]
+        x = x.at[lo].set(new_lo).at[hi].set(new_hi)
+    if tab.corr_nseg:
+        vals = x_in[(slice(None),) + tab.corr_idx]
+        sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
+        for f in range(2 * dim):
+            a, sd = f // 2, f % 2
+            sl = [slice(None)] * (dim + 2)
+            sl[1 + a] = 0 if sd == 0 else lat[a] - 1
+            sl = tuple(sl)
+            slab_shape = x[sl].shape[1:]
+            dense = (sums @ tab.corr_slab_oh[f].astype(x.dtype)).reshape(
+                (C,) + slab_shape
+            )
+            x = x.at[sl].set(x[sl] * tab.corr_keep[f].astype(x.dtype)[None] + dense)
+    return x
+
+
+def owner_dot(lvl: PatchLevel, x, y, tab: LevelTables | None = None):
     """Global inner product of two consistent patch vectors."""
-    w = jnp.asarray(lvl.owner, x.dtype)
+    w = tab.owner.astype(x.dtype) if tab is not None else jnp.asarray(lvl.owner, x.dtype)
     return jnp.sum(x * y * w[None])
 
 

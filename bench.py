@@ -2,11 +2,17 @@
 
 Measures the framework's hot path (BASELINE.md "Tracked metrics"): the
 multigrid-preconditioned x-update solve of the deformation system - DoF/s to
-a 1e-6 relative residual on the largest single-chip problem that fits
-comfortably.  The reference publishes no numbers (BASELINE.json
-"published": {}), so vs_baseline is reported against a fixed CPU-reference
-proxy measured once on this machine's own CPU backend at a smaller size and
-scaled; it is a self-referential progress tracker, not a reference claim.
+a 1e-6 relative residual on the largest single-chip problem that fits the
+wall budget - using the brick-patch stencil backend (gather-free SpMV +
+slab exchange; solvers.patch_mg).  The reference publishes no numbers
+(BASELINE.json "published": {}), so vs_baseline is reported against the
+first working TPU build of THIS repo (block-ELL backend, r1): a
+self-referential progress tracker, not a reference claim.
+
+Timing methodology: the axon TPU tunnel neither blocks reliably in
+block_until_ready nor keeps per-call dispatch cheap (~30-50 ms RTT), so
+solves are CHAINED INSIDE one jit (lax.fori_loop) and completion is forced
+by fetching a scalar to the host.
 
 All progress goes to stderr; stdout carries exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -23,6 +29,7 @@ def log(*a):
 
 
 BUDGET_S = 420.0  # wall budget; emit the largest size that fits
+REPS = 5
 
 
 def run_size(num_refs):
@@ -32,49 +39,98 @@ def run_size(num_refs):
 
     from admm_optim_tpu.core import geomgen
     from admm_optim_tpu.core.mesh import Hierarchy, refine
+    from admm_optim_tpu.core.patches import build_patchset
+    from admm_optim_tpu.ops import patchstencil as st
     from admm_optim_tpu.ops import sparsity
+    from admm_optim_tpu.ops.deformation import (
+        deformation_corner_mats,
+        deformation_elem_mats,
+    )
     from admm_optim_tpu.ops.p1space import P1VectorSpace
-    from admm_optim_tpu.solvers import krylov, mg
+    from admm_optim_tpu.solvers import patch_mg
 
     levels = [geomgen.channel_3d()]
     for _ in range(num_refs):
         levels.append(refine(levels[-1]))
     hier = Hierarchy(levels)
     log(hier.describe())
-    space = P1VectorSpace.build(hier)
-    struct = space.mg_structure()
-    coords = jnp.asarray(hier.fine.coords)
-    n_dofs = coords.shape[0] * coords.shape[1]
-
-    t0 = time.perf_counter()
-    data = space.assemble_mg(struct, coords, 1.0, 1.0, 1.0)
-    jax.block_until_ready(data.vals)
-    log(f"refs={num_refs}: assembly (incl compile): {time.perf_counter() - t0:.2f}s; dofs={n_dofs}")
-
-    free = space.free_mask().reshape(-1)
-    rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.normal(size=free.shape), coords.dtype) * free
-    pat = space.fine_pattern
+    fine = hier.fine
+    ps = build_patchset(hier)
+    log(
+        f"P={ps.P} lat={ps.fine.lat_shape} slots={ps.fine.n_sites} "
+        f"(x{ps.fine.n_sites / fine.num_vertices:.2f} duplication)"
+    )
+    coords = jnp.asarray(fine.coords)
+    n_dofs = fine.num_vertices * hier.dim
     rel_tol = 1e-6 if coords.dtype == jnp.float32 else 1e-8
 
-    @jax.jit
-    def solve(data, b):
-        A = lambda x: sparsity.spmv_flat(pat, data.vals[-1], x)
-        M = mg.make_preconditioner(struct, data)
-        return krylov.cg(A, b, M=M, max_iters=60, abs_tol=0.0, rel_tol=rel_tol)
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = np.asarray(space.fixed[0])
 
-    res = solve(data, b)
-    jax.block_until_ready(res.x)
-    log(f"refs={num_refs}: warmup iters={int(res.iters)} res={float(res.res_norm):.3e} "
-        f"converged={bool(res.converged)}")
-    reps = 3
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), 1.0, 1.0, 1.0
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    struct = patch_mg.PatchMGStructure(ps)
+    # device tables passed as jit ARGUMENTS (not baked constants) so the
+    # persistent compile cache stays effective
+    tabs = patch_mg.make_level_tables(ps, coords.dtype)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        res = solve(data, b)
-    jax.block_until_ready(res.x)
-    dt = (time.perf_counter() - t0) / reps
+    assemble = jax.jit(
+        lambda c, tabs: patch_mg.assemble_patch_mg(
+            ps, struct, c,
+            lambda x: deformation_corner_mats(x, 1.0, 1.0, 1.0),
+            base_dense_fn,
+            tabs=tabs,
+        )
+    )
+    data = assemble(coords, tabs)
+    float(data.lmax[-1])  # fetch forces completion through the axon tunnel
+    log(f"refs={num_refs}: assembly (incl compile): {time.perf_counter() - t0:.2f}s; dofs={n_dofs}")
+
+    rng = np.random.default_rng(0)
+    b_g = jnp.asarray(rng.normal(size=(hier.dim, fine.num_vertices)), coords.dtype)
+    b_g = b_g * space.free_mask().astype(coords.dtype)
+    b_p = st.to_patch(ps.fine, b_g)
+
+    @jax.jit
+    def chain_solves(data, b):
+        def body(i, carry):
+            b, acc = carry
+            res = patch_mg.cg_p(struct, data, b, max_iters=60, rel_tol=rel_tol)
+            scale = 1.0 / (1.0 + jnp.sqrt(st.owner_dot(ps.fine, res.x, res.x)))
+            return (res.x * scale, acc + res.iters)
+
+        b, acc = jax.lax.fori_loop(0, REPS, body, (b, jnp.array(0, jnp.int32)))
+        return jnp.sum(b), acc
+
+    @jax.jit
+    def one_solve(data, b):
+        res = patch_mg.cg_p(struct, data, b, max_iters=60, rel_tol=rel_tol)
+        return res.iters, res.res_norm, res.converged
+
+    t0 = time.perf_counter()
+    its, nrm, conv = one_solve(data, b_p)
+    log(
+        f"refs={num_refs}: warmup iters={int(its)} res={float(nrm):.3e} "
+        f"converged={bool(conv)} ({time.perf_counter() - t0:.2f}s incl compile)"
+    )
+    s, acc = chain_solves(data, b_p)
+    float(s)  # compile + settle
+    t0 = time.perf_counter()
+    s, acc = chain_solves(data, b_p)
+    float(s)
+    dt = (time.perf_counter() - t0) / REPS
     dof_per_s = n_dofs / dt
-    log(f"refs={num_refs}: {dt * 1e3:.1f} ms/solve, {int(res.iters)} iters, {dof_per_s:.3e} DoF/s")
+    log(
+        f"refs={num_refs}: {dt * 1e3:.1f} ms/solve, {int(acc) // REPS} iters/solve, "
+        f"{dof_per_s:.3e} DoF/s"
+    )
     return dof_per_s
 
 
@@ -93,7 +149,7 @@ def main():
     log(f"devices: {jax.devices()}")
 
     start = time.perf_counter()
-    sizes = [2, 3] if platform != "cpu" else [1]
+    sizes = [3, 4] if platform != "cpu" else [1]
     best = None
     for refs in sizes:
         if best is not None and time.perf_counter() - start > BUDGET_S * 0.45:
@@ -112,7 +168,8 @@ def main():
         return
     refs, dof_per_s = best
     # fixed proxy baseline: the MG x-update solve measured on this repo's
-    # first working TPU build (r1, 2026-08-16): 9.5e5 DoF/s at 3D refs=3.
+    # first working TPU build (r1, 2026-08-16, block-ELL backend): 9.5e5
+    # DoF/s at 3D refs=3.
     baseline_dof_per_s = 9.5e5
     print(
         json.dumps(

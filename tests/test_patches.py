@@ -171,10 +171,12 @@ def test_patch_mg_solves(dim, refs):
         v0 = sparsity.bake_dirichlet(pat0, v0, fixed0)
         return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
 
+    tabs = patch_mg.make_level_tables(ps, coords.dtype)
     data_p = patch_mg.assemble_patch_mg(
         ps, struct_p, coords,
         lambda x: deformation_corner_mats(x, c_eps, c_grad, c_mass),
         base_dense_fn,
+        tabs=tabs,
     )
     b_p = st.to_patch(ps.fine, b_g)
     res_p = patch_mg.cg_p(struct_p, data_p, b_p, max_iters=60, rel_tol=1e-10)
