@@ -58,6 +58,10 @@ class ProblemConfig:
     diameter: float = 6.0
     max_attempts_per_step: int = 12  # bound on the reference's while(true)
     grid_path: str | None = None  # load a .ugx instead of generating
+    # ADMM linear-algebra backend: "patch" (brick-lattice stencil fast path,
+    # ~6x on TPU; needs geomgen brick metadata), "global" (block-ELL, any
+    # simplex mesh), or "auto" (patch when available)
+    backend: str = "auto"
     admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
 
@@ -120,7 +124,14 @@ class ObstacleShapeOpt:
             if cfg.grid_path is not None:
                 hier = Hierarchy.from_ugx(cfg.grid_path, cfg.num_refs)
             else:
-                base = geomgen.channel_2d() if cfg.dim == 2 else geomgen.channel_3d()
+                # fixed-diagonal 2D quads carry brick metadata for the patch
+                # backend (same geometry class; diagonals not alternated)
+                diag = "alt" if cfg.backend == "global" else "fixed"
+                base = (
+                    geomgen.channel_2d(diag=diag)
+                    if cfg.dim == 2
+                    else geomgen.channel_3d()
+                )
                 levels = [base]
                 for _ in range(cfg.num_refs):
                     levels.append(refine(levels[-1]))
@@ -164,10 +175,55 @@ class ObstacleShapeOpt:
 
         # jitted pipeline pieces (static self via closure; arrays traced)
         a = cfg.admm
-        # per-level compile-cached assembly (monolithic jit compiles too slow)
-        self._assemble = lambda X: self.def_space.assemble_mg(
-            self.struct, X, a.c_eps, a.tau, a.c_mass
+        # ---- ADMM backend selection -------------------------------------
+        # patch (brick-lattice stencil) when the mesh carries brick metadata;
+        # b2ndOrder's extra_hvp lives on global fields, so it forces global
+        self.use_patch = (
+            cfg.backend in ("auto", "patch")
+            and hier.levels[0].bricks is not None
+            and not cfg.b2nd_order
         )
+        if cfg.backend == "patch" and not self.use_patch:
+            raise ValueError(
+                "backend='patch' needs brick metadata (geomgen mesh) and "
+                "b2nd_order=False"
+            )
+        if self.use_patch:
+            from ..core.patches import build_patchset
+            from ..ops import patchstencil as pst
+            from ..ops import sparsity as _sp
+            from ..ops.deformation import deformation_corner_mats
+            from ..solvers import patch_mg as _pmg
+
+            self.patchset = build_patchset(hier, dirichlet=("inlet", "wall", "outlet"))
+            self._pmg_struct = _pmg.PatchMGStructure(self.patchset)
+            self._pmg_tabs = _pmg.make_level_tables(
+                self.patchset, jnp.asarray(lvl.coords).dtype
+            )
+            _pat0 = self.def_space.patterns[0]
+            _fixed0 = np.asarray(self.def_space.fixed[0])
+            _elems0 = jnp.asarray(hier.levels[0].elems)
+
+            def _base_dense_fn(coords0):
+                em0 = dfm.deformation_elem_mats(coords0, _elems0, a.c_eps, a.tau, a.c_mass)
+                v0 = _sp.assemble_values(_pat0, em0)
+                v0 = _sp.bake_dirichlet(_pat0, v0, jnp.asarray(_fixed0))
+                return jnp.linalg.inv(_sp.to_dense(_pat0, v0))
+
+            _assemble_p = jax.jit(
+                lambda X, tabs: _pmg.assemble_patch_mg(
+                    self.patchset, self._pmg_struct, X,
+                    lambda x: deformation_corner_mats(x, a.c_eps, a.tau, a.c_mass),
+                    _base_dense_fn, tabs=tabs,
+                )
+            )
+            self._assemble = lambda X: _assemble_p(X, self._pmg_tabs)
+            self._pst = pst
+        else:
+            # per-level compile-cached ELL assembly
+            self._assemble = lambda X: self.def_space.assemble_mg(
+                self.struct, X, a.c_eps, a.tau, a.c_mass
+            )
         p2iso = cfg.vorder == 2
         self._ns_pre = lambda X, s=None, adjoint=False: ns_solver.ns_gmg_precond_data(
             self.ns_space, self.pre_space, self.pre_struct, X, cfg.visc,
@@ -188,9 +244,25 @@ class ObstacleShapeOpt:
             )
         )
 
+        # host-stepped Newton for large problems: monolithic Newton programs
+        # (130+ MB code, multi-minute single executions) are unreliable
+        # through the TPU tunnel and compile minutes-slow
+        self._ns_stepped = int(lvl.num_elems) > 20000
+        self._ns_step_cache = {}
+
+        def _M_fn(r, pre_data, pdiag):
+            return ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag)(r)
+
         def _ns_solve(X, s0, visc=None):
             pre_data, pdiag = self._ns_pre(X, s=s0)
-            return self._ns_solve_pre(X, s0, pre_data, pdiag, cfg.visc if visc is None else visc)
+            nu = cfg.visc if visc is None else visc
+            if self._ns_stepped:
+                return ns_solver.newton_solve_stepped(
+                    self.ns_space, X, s0, nu, cfg.stab, cfg.ns,
+                    M_fn=_M_fn, m_args=(pre_data, pdiag),
+                    step_jit_cache=self._ns_step_cache,
+                )
+            return self._ns_solve_pre(X, s0, pre_data, pdiag, nu)
 
         def _adjoint(X, s):
             return self._adjoint_pre(X, s)
@@ -225,6 +297,20 @@ class ObstacleShapeOpt:
                         jprime_of_X, (X,), (x.T,)
                     )[1]
 
+            if self.use_patch:
+                from ..optim.spaces import PatchOps
+
+                ps = self.patchset
+                pst = self._pst
+                pops = PatchOps(self._pmg_struct, mgdata, pst.to_patch(ps.fine, X.T))
+                Jp_p = pst.to_patch(ps.fine, Jp)
+                st = admm.admm_inner_ops(
+                    a, pops, Jp_p, sigma, scaling,
+                    self.ref_volume, self.ref_barycenter, extra_hvp=None,
+                )
+                # hand the host a GLOBAL u (X update + shape derivative)
+                u_g = pst.from_patch(ps.fine, st.u, X.shape[0], mode="owner")
+                return dataclasses.replace(st, u=u_g)
             return admm.admm_inner(
                 a, self.struct, mgdata, X, self.elems, self.free, Jp,
                 sigma, scaling, self.ref_volume, self.ref_barycenter,
@@ -232,9 +318,47 @@ class ObstacleShapeOpt:
             )
 
         self._admm_full = jax.jit(_admm_impl)
-        self._admm = lambda mgdata, X, Jp, sigma, scaling: self._admm_full(
-            mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
-        )
+        # host-stepped ADMM for large problems (one device execution per
+        # ADMM iteration; see optim.admm.admm_inner_stepped)
+        self._admm_stepped_on = self.use_patch and int(lvl.num_elems) > 20000
+        if self.use_patch:
+            from ..optim.spaces import PatchOps
+
+            _struct_p = self._pmg_struct
+            _ps = self.patchset
+
+            def _patch_ops_builder(mgdata, coords_p):
+                return PatchOps(_struct_p, mgdata, coords_p)
+
+            self._patch_ops_builder = _patch_ops_builder
+            self._patch_conv = jax.jit(
+                lambda X, Jp: (
+                    self._pst.to_patch(_ps.fine, X.T),
+                    self._pst.to_patch(_ps.fine, Jp),
+                )
+            )
+            self._patch_u_to_global = jax.jit(
+                lambda u, n=lvl.num_vertices: self._pst.from_patch(
+                    _ps.fine, u, n, mode="owner"
+                )
+            )
+            self._admm_kernel_cache = {}
+
+        def _admm_dispatch(mgdata, X, Jp, sigma, scaling):
+            if self._admm_stepped_on:
+                coords_p, Jp_p = self._patch_conv(X, Jp)
+                st = admm.admm_inner_stepped(
+                    a, self._patch_ops_builder, (mgdata, coords_p), Jp_p,
+                    float(sigma), float(scaling),
+                    self.ref_volume, self.ref_barycenter,
+                    self._admm_kernel_cache,
+                )
+                return dataclasses.replace(st, u=self._patch_u_to_global(st.u))
+            return self._admm_full(
+                mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
+            )
+
+        self._admm = _admm_dispatch
         self._cur_s = None
         self._cur_lam_adj = None
         # element-inversion check must be relative to the undeformed mesh's

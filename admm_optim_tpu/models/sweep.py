@@ -26,11 +26,33 @@ def sigma_sweep(prob, X, Jp, sigmas, scalings=None):
         scalings = jnp.ones_like(sigmas)
     mgdata = prob._assemble(X)
 
-    def one(sigma, scaling):
-        return admm.admm_inner(
-            prob.cfg.admm, prob.struct, mgdata, X, prob.elems, prob.free, Jp,
-            sigma, scaling, prob.ref_volume, prob.ref_barycenter,
-        )
+    if prob.use_patch:
+        from ..ops import patchstencil as pst
+
+        coords_p = pst.to_patch(prob.patchset.fine, X.T)
+        Jp_p = pst.to_patch(prob.patchset.fine, Jp)
+
+        n_vertices = X.shape[0]
+
+        def one(sigma, scaling):
+            import dataclasses as _dc
+
+            ops_ = prob._patch_ops_builder(mgdata, coords_p)
+            st = admm.admm_inner_ops(
+                prob.cfg.admm, ops_, Jp_p, sigma, scaling,
+                prob.ref_volume, prob.ref_barycenter,
+            )
+            # public contract: u in the GLOBAL (C, V) representation
+            u_g = pst.from_patch(prob.patchset.fine, st.u, n_vertices, mode="owner")
+            return _dc.replace(st, u=u_g)
+
+    else:
+
+        def one(sigma, scaling):
+            return admm.admm_inner(
+                prob.cfg.admm, prob.struct, mgdata, X, prob.elems, prob.free, Jp,
+                sigma, scaling, prob.ref_volume, prob.ref_barycenter,
+            )
 
     return jax.jit(jax.vmap(one))(jnp.asarray(sigmas), jnp.asarray(scalings))
 
@@ -40,9 +62,11 @@ def geometry_sweep(prob, Xs, Jps, sigma, scaling=1.0):
     per-geometry shape gradients (B, C, V).  Per-geometry multigrid data is
     assembled under the same vmap (the per-level jits inline)."""
 
+    a = prob.cfg.admm
+
     def one(X, Jp):
         mgdata = prob.def_space.assemble_mg(
-            prob.struct, X, prob.cfg.admm.c_eps, prob.cfg.admm.tau, prob.cfg.admm.c_mass
+            prob.struct, X, a.c_eps, a.tau, a.c_mass
         )
         return admm.admm_inner(
             prob.cfg.admm, prob.struct, mgdata, X, prob.elems, prob.free, Jp,

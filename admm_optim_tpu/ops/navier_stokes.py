@@ -159,6 +159,22 @@ def inlet_values(space: NSSpace, coords: jnp.ndarray) -> jnp.ndarray:
     return g
 
 
+NS_ELEM_CHUNK = 16384  # element block size: bounds quadrature temporaries
+
+
+def _elem_chunks(E: int):
+    """(n_blocks, block, pad) so quadrature temporaries stay O(block).
+
+    The Newton/GMRES program otherwise keeps ~dozens of (nq, nbv, d, E)
+    buffers live (measured 7 GB of XLA temps at 3D refs=2 = OOM on one
+    v5e); lax.map over element blocks caps them at the block size."""
+    if E <= NS_ELEM_CHUNK:
+        return 1, E, 0
+    nb = -(-E // NS_ELEM_CHUNK)
+    block = -(-E // nb)
+    return nb, block, nb * block - E
+
+
 def ns_residual(
     space: NSSpace,
     coords: jnp.ndarray,
@@ -171,45 +187,67 @@ def ns_residual(
     v, p = space.unpack(s)  # v (d, n_vel), p (V,)
     elems = jnp.asarray(space.elems)
     vel_dofs_t = jnp.asarray(space.vel_dofs).T  # (nbv, E)
-    _, detJ, Jinv, vol = elem_geometry(coords, elems)
     qw = jnp.asarray(space.qw, dtype=coords.dtype)
     val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
     gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
     val_p = jnp.asarray(space.val_p, dtype=coords.dtype)
 
-    gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)  # (nq, nbv, d, E)
-    ve = v[:, vel_dofs_t]  # (c, nbv, E)
-    pe = p[elems.T]  # (nl, E)
+    E = elems.shape[0]
+    nb, block, pad = _elem_chunks(E)
+    # pad with copies of element 0 (valid geometry - zero-index padding would
+    # make detJ = 0 and poison the masked contributions with inf*0 = NaN)
+    elems_p = jnp.concatenate([elems, jnp.tile(elems[:1], (pad, 1))])
+    vdofs_p = jnp.concatenate(
+        [jnp.asarray(space.vel_dofs), jnp.tile(jnp.asarray(space.vel_dofs)[:1], (pad, 1))]
+    )
+    emask = jnp.pad(jnp.ones(E, coords.dtype), (0, pad))
 
-    vq = jnp.einsum("qb,cbe->cqe", val_v, ve)  # (c, nq, E)
-    gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)  # (c, d, nq, E) = d_d v_c
-    pq = jnp.einsum("qa,ae->qe", val_p, pe)
-    divv = jnp.einsum("ccqe->qe", gradv)
+    def body(args):
+        el, vd, msk = args  # (block, nl), (block, nbv), (block,)
+        _, detJ, Jinv, vol = elem_geometry(coords, el)
+        gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)  # (nq, nbv, d, Eb)
+        ve = v[:, vd.T]  # (c, nbv, Eb)
+        pe = p[el.T]  # (nl, Eb)
+        vq = jnp.einsum("qb,cbe->cqe", val_v, ve)
+        gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)
+        pq = jnp.einsum("qa,ae->qe", val_p, pe)
+        divv = jnp.einsum("ccqe->qe", gradv)
+        wdet = qw[:, None] * (jnp.abs(detJ) * msk)[None, :] / _dfact(d)
+        conv = jnp.einsum("dqe,cdqe->cqe", vq, gradv)
+        r_visc = visc * jnp.einsum("qe,cdqe,qbde->cbe", wdet, gradv, gv)
+        r_conv = jnp.einsum("qe,cqe,qb->cbe", wdet, conv, val_v)
+        r_pres = -jnp.einsum("qe,qe,qbce->cbe", wdet, pq, gv)
+        r_mom_e = r_visc + r_conv + r_pres  # (c, nbv, Eb)
+        r_div_e = jnp.einsum("qe,qe,qa->ae", wdet, divv, val_p)  # (nl, Eb)
+        if stab != 0.0:
+            # Brezzi-Pitkaranta: +stab * h_e^2 (grad p, grad psi) - the sign
+            # that ADDS to the pressure Schur (C + D A^-1 D^T definite)
+            gp1 = p1_phys_grads(Jinv)
+            gradp = jnp.einsum("ade,ae->de", gp1, pe)
+            h2 = vol ** (2.0 / d)
+            r_div_e = r_div_e + stab * jnp.einsum(
+                "e,de,ade->ae", h2 * vol * msk, gradp, gp1
+            )
+        return r_mom_e, r_div_e
 
-    wdet = qw[:, None] * jnp.abs(detJ)[None, :] / _dfact(d)  # (nq, E)
+    if nb == 1:
+        r_mom_e, r_div_e = body((elems_p, vdofs_p, emask))
+    else:
+        shp = lambda a: a.reshape((nb, block) + a.shape[1:])
+        r_mom_b, r_div_b = jax.lax.map(
+            body, (shp(elems_p), shp(vdofs_p), shp(emask))
+        )  # (nb, c, nbv, block), (nb, nl, block)
+        r_mom_e = jnp.moveaxis(r_mom_b, 0, -2).reshape(d, r_mom_b.shape[2], -1)
+        r_div_e = jnp.moveaxis(r_div_b, 0, -2).reshape(r_div_b.shape[1], -1)
 
-    conv = jnp.einsum("dqe,cdqe->cqe", vq, gradv)  # (v.grad)v
-    # momentum: nu grad v : grad w + conv.w - p div w
-    r_visc = visc * jnp.einsum("qe,cdqe,qbde->cbe", wdet, gradv, gv)
-    r_conv = jnp.einsum("qe,cqe,qb->cbe", wdet, conv, val_v)
-    r_pres = -jnp.einsum("qe,qe,qbce->cbe", wdet, pq, gv)
-    r_mom_e = r_visc + r_conv + r_pres  # (c, nbv, E)
-
-    r_div_e = jnp.einsum("qe,qe,qa->ae", wdet, divv, val_p)  # (nl, E)
-    if stab != 0.0:
-        # Brezzi-Pitkaranta: +stab * h_e^2 (grad p, grad psi) - the sign that
-        # ADDS to the pressure Schur complement (C + D A^-1 D^T definite)
-        gp1 = p1_phys_grads(Jinv)  # (nl, d, E)
-        gradp = jnp.einsum("ade,ae->de", gp1, pe)
-        h2 = vol ** (2.0 / d)
-        r_div_e = r_div_e + stab * jnp.einsum("e,de,ade->ae", h2 * vol, gradp, gp1)
-
-    vseg = vel_dofs_t.reshape(-1)
+    vseg = jnp.pad(vel_dofs_t, ((0, 0), (0, pad))).reshape(-1)
     r_mom = jax.vmap(
         lambda row: jax.ops.segment_sum(row, vseg, num_segments=space.n_vel)
     )(r_mom_e.reshape(d, -1))  # (d, n_vel)
     r_div = jax.ops.segment_sum(
-        r_div_e.reshape(-1), elems.T.reshape(-1), num_segments=space.n_vertices
+        r_div_e.reshape(-1),
+        elems_p.T.reshape(-1),
+        num_segments=space.n_vertices,
     )
 
     # Dirichlet rows: R = v - g

@@ -1,0 +1,181 @@
+"""Deformation / ADMM element ops on the brick-patch lattice layout.
+
+Patch-space counterparts of ops.deformation: every per-element quantity
+becomes a per-(class, cell) quantity - elements of a brick lattice are
+PARTITIONED across patches (unlike vertices, which are duplicated), so cell
+reductions and elementwise tensor updates are exact with no exchange.
+Per-element tensor fields (lambda, q, grad u) are stored as
+
+    (d, d, T, *cells, P)      T = element classes (2 in 2D / 6 in 3D),
+                              cells = (m,)^dim lattice cell boxes
+
+All vertex-field access is static corner slicing (see ops.patchstencil);
+AD through these functions yields scatter-free pad-transpose gradients, so
+constraint gradients and Hessian-vector products (jacrev/jvp of
+`constraints`) stay on the stencil fast path.
+
+Parity: the same reference plugin classes as ops.deformation
+(DeformationEquationRHS, SecondDerivative*, MassModel, Testing,
+LambdaUpdate - 2d_admm.lua:423-669, 883-905).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.patches import PatchSet
+from .deformation import project_frobenius, project_spectral, _svals_2x2
+from .geometry import corner_geometry, p1_phys_grads, sdet
+
+
+def _cell_slice(cv, m):
+    return tuple(slice(int(o), int(o) + m) for o in cv)
+
+
+def class_corners(ps: PatchSet, x_p: jnp.ndarray, m: int) -> jnp.ndarray:
+    """x_p (C, *lat, P) -> corner values (C, nl, T, *cells, P)."""
+    pre = (slice(None),)
+    per_class = [
+        jnp.stack([x_p[pre + _cell_slice(cv, m)] for cv in co], axis=1)
+        for co in ps.class_offsets
+    ]
+    return jnp.stack(per_class, axis=2)
+
+
+def cell_geometry(ps: PatchSet, coords_p: jnp.ndarray):
+    """-> (g (nl, d, T, *cells, P) basis grads, vol (T, *cells, P))."""
+    m = coords_p.shape[1] - 1
+    xc = class_corners(ps, coords_p, m)  # (d, nl, T, *cells, P)
+    _, _, Jinv, vol = corner_geometry(xc)
+    g = p1_phys_grads(Jinv)  # (nl, d, T, *cells, P)
+    return g, vol
+
+
+def cell_grads(ps: PatchSet, coords_p, u_p):
+    """Per-cell gradient of a P1 field u_p (C, *lat, P):
+    (G (C, d, T, *cells, P), vol (T, *cells, P))."""
+    m = coords_p.shape[1] - 1
+    g, vol = cell_geometry(ps, coords_p)
+    uc = class_corners(ps, u_p, m)  # (C, nl, T, *cells, P)
+    G = jnp.einsum("id...,ci...->cd...", g, uc)
+    return G, vol
+
+
+def tensor_rhs_p(ps: PatchSet, coords_p, M):
+    """Additive r (C, *lat, P): r = int M : grad w dx for per-cell tensor
+    M (d, d, T, *cells, P).  Scatter-free (padded adds)."""
+    dim = ps.dim
+    m = coords_p.shape[1] - 1
+    g, vol = cell_geometry(ps, coords_p)
+    contrib = jnp.einsum("...,cd...,id...->ci...", vol, M, g)  # (C, nl, T, *cells, P)
+    r = None
+    for t, co in enumerate(ps.class_offsets):
+        for a in range(dim + 1):
+            pad = [(0, 0)] + [(int(o), 1 - int(o)) for o in co[a]] + [(0, 0)]
+            term = jnp.pad(contrib[:, a, t], pad)
+            r = term if r is None else r + term
+    return r
+
+
+def volume_defect_p(ps: PatchSet, coords_p, u_p, ref_volume):
+    """g_vol(u) = int det(I + grad u) dx - V_ref (exact; cells partitioned)."""
+    G, vol = cell_grads(ps, coords_p, u_p)
+    d = ps.dim
+    eye = jnp.eye(d, dtype=coords_p.dtype).reshape((d, d) + (1,) * (G.ndim - 2))
+    det = sdet(eye + G)
+    return jnp.sum(vol * det) - ref_volume
+
+
+def barycenter_p(ps: PatchSet, coords_p, u_p):
+    """b_i(u) = int (x_i + u_i) det(I + grad u) dx (unnormalized, (d,))."""
+    m = coords_p.shape[1] - 1
+    G, vol = cell_grads(ps, coords_p, u_p)
+    d = ps.dim
+    eye = jnp.eye(d, dtype=coords_p.dtype).reshape((d, d) + (1,) * (G.ndim - 2))
+    det = sdet(eye + G)
+    xc = class_corners(ps, coords_p, m) + class_corners(ps, u_p, m)
+    centroid = xc.mean(axis=1)  # (d, T, *cells, P)
+    return jnp.einsum("...,c...->c", vol * det, centroid)
+
+
+def constraints_p(ps: PatchSet, coords_p, u_p, ref_volume, ref_barycenter):
+    """g(u) in R^m, m = 1 + d (volume + barycenter defects)."""
+    return jnp.concatenate(
+        [
+            volume_defect_p(ps, coords_p, u_p, ref_volume)[None],
+            barycenter_p(ps, coords_p, u_p) - ref_barycenter,
+        ]
+    )
+
+
+def constraint_grads_p(ps, coords_p, u_p, ref_volume, ref_barycenter):
+    """ADDITIVE B (m, C, *lat, P) = dg/du (exchange+mask at the caller)."""
+    return jax.jacrev(
+        lambda uu: constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter)
+    )(u_p)
+
+
+def constraint_hvp_p(ps, coords_p, u_p, Lmbda, ref_volume, ref_barycenter, x_p):
+    """ADDITIVE (sum_i Lambda_i d2g_i/du2) @ x."""
+
+    def lag(uu):
+        g = constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter)
+        return jnp.vdot(Lmbda, g)
+
+    return jax.jvp(jax.grad(lag), (u_p,), (x_p,))[1]
+
+
+def z_update_p(ps, coords_p, u_p, lam, tau, sigma, norm_name="frobenius"):
+    """q* = Proj_sigma(grad u + lambda/tau), per cell (d, d, T, *cells, P)."""
+    G, _ = cell_grads(ps, coords_p, u_p)
+    Q = G + lam / tau
+    if norm_name == "spectral":
+        d = ps.dim
+        shp = Q.shape
+        Qf = Q.reshape(d, d, -1)
+        out = project_spectral(Qf, sigma)
+        return out.reshape(shp)
+    return project_frobenius(Q, sigma)
+
+
+def dual_update_p(ps, coords_p, u_p, lam, q_proj, tau):
+    """lambda += tau*(grad u - q*); returns (new lam, increment)."""
+    G, _ = cell_grads(ps, coords_p, u_p)
+    inc = tau * (G - q_proj)
+    return lam + inc, inc
+
+
+def max_frobenius_norm_p(ps, coords_p, u_p):
+    G, _ = cell_grads(ps, coords_p, u_p)
+    return jnp.max(jnp.sqrt(jnp.sum(G * G, axis=(0, 1))))
+
+
+def max_spectral_norm_p(ps, coords_p, u_p):
+    G, _ = cell_grads(ps, coords_p, u_p)
+    if ps.dim == 2:
+        _, _, _, _, e1, e2 = _svals_2x2(G)
+        return jnp.max(e1 + e2)
+    d = ps.dim
+    Gf = jnp.moveaxis(G.reshape(d, d, -1), -1, 0)
+    s = jnp.linalg.svd(Gf, compute_uv=False)
+    return jnp.max(s[:, 0])
+
+
+def l2_norm_p1_p(ps, coords_p, f_p):
+    """sqrt(int |f|^2) for a consistent P1 patch field f (C, *lat, P)."""
+    m = coords_p.shape[1] - 1
+    _, vol = cell_geometry(ps, coords_p)
+    fc = class_corners(ps, f_p, m)  # (C, nl, T, *cells, P)
+    nl = ps.dim + 1
+    mfac = ((jnp.ones((nl, nl)) + jnp.eye(nl)) / ((ps.dim + 1) * (ps.dim + 2))).astype(
+        f_p.dtype
+    )
+    val = jnp.einsum("...,ij,ci...,cj...->", vol, mfac, fc, fc)
+    return jnp.sqrt(jnp.maximum(val, 0.0))
+
+
+def l2_norm_pc_p(ps, coords_p, T):
+    """sqrt(int |T|^2) for a per-cell tensor field (d, d, T, *cells, P)."""
+    _, vol = cell_geometry(ps, coords_p)
+    return jnp.sqrt(jnp.maximum(jnp.einsum("...,cd...,cd...->", vol, T, T), 0.0))

@@ -152,14 +152,10 @@ def l2_norm_pc(coords, elems, T):
     return jnp.sqrt(jnp.maximum(jnp.einsum("e,cde,cde->", vol, T, T), 0.0))
 
 
-def newton_xupdate(
+def newton_xupdate_ops(
     cfg: ADMMConfig,
-    struct: mg.MGStructure,
-    mgdata: mg.MGData,
-    coords,
-    elems,
-    free,  # (V, d) float mask
-    Jp_base,  # (V, d) unscaled shape gradient (obstacle-masked)
+    ops_,
+    Jp_base,
     scaling,
     lam,
     q_proj,
@@ -169,43 +165,33 @@ def newton_xupdate(
     Lambda0,
     extra_hvp=None,
 ):
-    """Constrained Newton (KKT via dense m x m Schur complement).
+    """Constrained Newton (KKT via dense m x m Schur complement) on any
+    representation adapter (optim.spaces.GlobalOps / PatchOps).
 
-    Fields: u, Jp_base, free are (C, V); lam/q_proj are (d, d, E).
-    extra_hvp: optional x -> H2 @ x term added to the Hessian (the
-    second-order shape-derivative term behind the reference's -b2ndOrder
-    flag, 2d:86,389; see models.obstacle).
     Returns (u, Lambda, newton_iters, lin_iters, failed)."""
-    pat = struct.patterns[-1]
-    vals = mgdata.vals[-1]
-    M_flat = mg.make_preconditioner(struct, mgdata)
-    M = lambda r: M_flat(r.reshape(-1)).reshape(r.shape)
+    free = ops_.free
     m = Lambda0.shape[0]
 
-    r_lin = (scaling * Jp_base + dfm.tensor_rhs(coords, elems, lam - cfg.tau * q_proj)) * free
-
-    def Aop(x):
-        return sparsity.spmv_cn(pat, vals, x)
+    r_lin = scaling * Jp_base * free + ops_.tensor_rhs(lam - cfg.tau * q_proj)
 
     def hess_apply(u, Lambda, x):
-        hx = Aop(x) + dfm.constraint_hvp(
-            coords, elems, u, Lambda, ref_volume, ref_barycenter, x * free
-        ) * free
+        hx = ops_.A(x) + ops_.constraint_hvp(u, Lambda, ref_volume, ref_barycenter, x)
         if extra_hvp is not None:
             hx = hx + extra_hvp(x * free) * free
         return hx
 
     def solve_h(u, Lambda, rhs_batch):
-        """Batched SPD-ish solves H x = b for (k, V, d) right-hand sides."""
+        """Batched SPD-ish solves H x = b."""
 
         def one(b):
             res = krylov.bicgstab(
                 lambda x: hess_apply(u, Lambda, x),
                 b,
-                M=M,
+                M=ops_.M,
                 max_iters=cfg.lin_max_iters,
                 abs_tol=cfg.lin_abs_tol,
                 rel_tol=cfg.lin_rel_tol,
+                dot=ops_.dot,
             )
             return res.x, res.iters, res.converged
 
@@ -221,25 +207,25 @@ def newton_xupdate(
         # under vmap the loop body runs for ALL lanes until every lane's
         # cond is false; freeze lanes that are already done/failed
         active = (~done) & (~failed)
-        g = dfm.constraints(coords, elems, u, ref_volume, ref_barycenter)
-        B = dfm.constraint_grads(coords, elems, u, ref_volume, ref_barycenter, free)
-        Lu = (Aop(u) + r_lin + jnp.einsum("m,mcv->cv", Lambda, B)) * free
+        g = ops_.constraints(u, ref_volume, ref_barycenter)
+        B = ops_.constraint_grads(u, ref_volume, ref_barycenter)
+        Lu = (ops_.A(u) + r_lin + jnp.tensordot(Lambda, B, axes=1)) * free
 
-        rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, C, V)
+        rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, ...)
         sols, nlin, ok = solve_h(u, Lambda, rhs)
         st, t = sols[0], sols[1:]  # st = H^-1 Lu ; t_i = H^-1 B_i
 
-        S = jnp.einsum("mcv,ncv->mn", B, t)  # S_ij = B_i . H^-1 B_j
-        rhs_s = g - jnp.einsum("mcv,cv->m", B, st)
+        S = jax.vmap(lambda bi: jax.vmap(lambda tj: ops_.dot(bi, tj))(t))(B)
+        rhs_s = g - jax.vmap(lambda bi: ops_.dot(bi, st))(B)
         dLambda = jnp.linalg.solve(S, rhs_s)
-        du = -st - jnp.einsum("m,mcv->cv", dLambda, t)
+        du = -st - jnp.tensordot(dLambda, t, axes=1)
 
         u_new = jnp.where(active, (u + du) * free, u)
         Lambda_new = jnp.where(active, Lambda + dLambda, Lambda)
 
         # convergence (reference 2d:1163-1169): increment / abs / rel norms
         dlam_norm = jnp.sqrt(jnp.vdot(dLambda, dLambda))
-        lu_norm = l2_norm_p1(coords, elems, Lu)
+        lu_norm = ops_.norm_p1(Lu)
         g_norm = jnp.sqrt(jnp.vdot(g, g))
         done = done | (
             active
@@ -269,13 +255,36 @@ def newton_xupdate(
     return u, Lambda, it, lin, failed
 
 
-def admm_inner(
+def newton_xupdate(
     cfg: ADMMConfig,
     struct: mg.MGStructure,
     mgdata: mg.MGData,
     coords,
     elems,
-    free,
+    free,  # (C, V) float mask
+    Jp_base,  # (C, V) unscaled shape gradient (obstacle-masked)
+    scaling,
+    lam,
+    q_proj,
+    ref_volume,
+    ref_barycenter,
+    u0,
+    Lambda0,
+    extra_hvp=None,
+):
+    """Compatibility wrapper: global-representation Newton x-update."""
+    from .spaces import GlobalOps
+
+    ops_ = GlobalOps(struct, mgdata, coords, elems, free)
+    return newton_xupdate_ops(
+        cfg, ops_, Jp_base, scaling, lam, q_proj, ref_volume, ref_barycenter,
+        u0, Lambda0, extra_hvp=extra_hvp,
+    )
+
+
+def admm_inner_ops(
+    cfg: ADMMConfig,
+    ops_,
     Jp_base,
     sigma_threshold,
     scaling0,
@@ -283,14 +292,29 @@ def admm_inner(
     ref_barycenter,
     extra_hvp=None,
 ):
-    """Full ADMM loop for one optimization step (jit-compatible).
-
-    Returns the final ADMMState; .converged / .failed drive the outer
-    step-size control (reference 2d:1226-1280)."""
-    m = 1 + coords.shape[1]
-    state = initial_state(
-        coords.shape[0], elems.shape[0], coords.shape[1], m, scaling0,
-        cfg.admm_steps, coords.dtype,
+    """Full ADMM loop for one optimization step on any representation
+    adapter (jit-compatible).  Returns the final ADMMState."""
+    dim = ops_.dim
+    m = 1 + dim
+    dtype = Jp_base.dtype
+    zf = ops_.zeros_field(dtype)
+    zt = ops_.zeros_tensor(dtype)
+    state = ADMMState(
+        u=zf,
+        u_old=zf,
+        lam=zt,
+        q_proj=zt,
+        Lambda=jnp.zeros(m, dtype),
+        scaling=jnp.asarray(scaling0, dtype),
+        admm_it=jnp.array(0, jnp.int32),
+        total_newton=jnp.array(0, jnp.int32),
+        total_lin_iters=jnp.array(0, jnp.int32),
+        converged=jnp.array(False),
+        failed=jnp.array(False),
+        u_diff_norm=jnp.asarray(jnp.inf, dtype),
+        lam_inc_norm=jnp.asarray(jnp.inf, dtype),
+        max_grad_norm=jnp.asarray(0.0, dtype),
+        stats=jnp.zeros((cfg.admm_steps, 6), dtype),
     )
 
     def cond(st: ADMMState):
@@ -299,27 +323,21 @@ def admm_inner(
     def body(st: ADMMState):
         active = (~st.converged) & (~st.failed)
         # ---- z-update + projection (2d:883-905) --------------------------
-        q_proj = dfm.z_update(
-            coords, elems, st.u, st.lam, cfg.tau, sigma_threshold, cfg.norm_name
-        )
-        max_norm = (
-            dfm.max_spectral_norm(coords, elems, st.u_old)
-            if cfg.norm_name == "spectral"
-            else dfm.max_frobenius_norm(coords, elems, st.u_old)
-        )
+        q_proj = ops_.z_update(st.u, st.lam, cfg.tau, sigma_threshold, cfg.norm_name)
+        max_norm = ops_.max_grad_norm(st.u_old, cfg.norm_name)
 
         # ---- x-update (2d:926-1171) --------------------------------------
-        u, Lambda, nit, nlin, x_failed = newton_xupdate(
-            cfg, struct, mgdata, coords, elems, free, Jp_base,
-            st.scaling, st.lam, q_proj, ref_volume, ref_barycenter,
+        u, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
+            cfg, ops_, Jp_base, st.scaling, st.lam, q_proj,
+            ref_volume, ref_barycenter,
             st.u, jnp.zeros_like(st.Lambda), extra_hvp=extra_hvp,
         )
 
         # ---- dual ascent (2d:1181-1185) ------------------------------------
-        lam, lam_inc = dfm.dual_update(coords, elems, u, st.lam, q_proj, cfg.tau)
+        lam, lam_inc = ops_.dual_update(u, st.lam, q_proj, cfg.tau)
 
-        u_diff_norm = l2_norm_p1(coords, elems, u - st.u_old)
-        lam_inc_norm = l2_norm_pc(coords, elems, lam_inc)
+        u_diff_norm = ops_.norm_p1(u - st.u_old)
+        lam_inc_norm = ops_.norm_pc(lam_inc)
 
         # ---- convergence logic (2d:1226-1250) ------------------------------
         base_conv = (
@@ -374,3 +392,156 @@ def admm_inner(
         )
 
     return jax.lax.while_loop(cond, body, state)
+
+
+def admm_inner(
+    cfg: ADMMConfig,
+    struct: mg.MGStructure,
+    mgdata: mg.MGData,
+    coords,
+    elems,
+    free,
+    Jp_base,
+    sigma_threshold,
+    scaling0,
+    ref_volume,
+    ref_barycenter,
+    extra_hvp=None,
+):
+    """Compatibility wrapper: global-representation ADMM loop."""
+    from .spaces import GlobalOps
+
+    ops_ = GlobalOps(struct, mgdata, coords, elems, free)
+    return admm_inner_ops(
+        cfg, ops_, Jp_base, sigma_threshold, scaling0, ref_volume,
+        ref_barycenter, extra_hvp=extra_hvp,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-stepped driver (one ADMM iteration per device execution)
+# ---------------------------------------------------------------------------
+
+def admm_inner_stepped(
+    cfg: ADMMConfig,
+    ops_builder,
+    builder_args: tuple,
+    Jp_base,
+    sigma_threshold: float,
+    scaling0: float,
+    ref_volume,
+    ref_barycenter,
+    kernel_cache: dict,
+    verbose: bool = False,
+):
+    """Host-stepped twin of admm_inner_ops: identical algorithm, but the
+    ADMM while-loop runs on the host with ONE device execution per ADMM
+    iteration (z-update + x-update Newton + dual ascent).
+
+    Why: the monolithic jitted loop is a single device execution of
+    admm_steps * ns_max_its * (2+m) multigrid solves - minutes of wall clock
+    at 3D refs>=3, which the TPU tunnel does not survive reliably, and a
+    giant program to compile.  The stepped driver bounds executions at one
+    ADMM iteration (~seconds) and emits per-iteration stats (the reference
+    prints each ADMM step too, 2d_admm.lua:1221-1223).
+
+    ops_builder(*builder_args) -> representation adapter (optim.spaces);
+    builder_args are traced pytree args of the jitted body so nothing is
+    baked as constants.  kernel_cache: per-problem dict for kernel reuse.
+    """
+    key = ("admm_body", cfg, ops_builder)
+    if key not in kernel_cache:
+
+        def body(builder_args, Jp, u, u_old, lam, sigma, scaling):
+            ops_ = ops_builder(*builder_args)
+            q_proj = ops_.z_update(u, lam, cfg.tau, sigma, cfg.norm_name)
+            max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
+            u2, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
+                cfg, ops_, Jp, scaling, lam, q_proj, ref_volume,
+                ref_barycenter, u, jnp.zeros(1 + ops_.dim, u.dtype),
+            )
+            lam2, lam_inc = ops_.dual_update(u2, lam, q_proj, cfg.tau)
+            u_diff = ops_.norm_p1(u2 - u_old)
+            lam_inc_n = ops_.norm_pc(lam_inc)
+            return u2, lam2, q_proj, Lambda, nit, nlin, x_failed, max_norm, u_diff, lam_inc_n
+
+        kernel_cache[key] = jax.jit(body)
+    body_fn = kernel_cache[key]
+
+    ops_probe = ops_builder(*builder_args)
+    dtype = Jp_base.dtype
+    u = ops_probe.zeros_field(dtype)
+    u_old = ops_probe.zeros_field(dtype)
+    lam = ops_probe.zeros_tensor(dtype)
+    q_proj = lam
+    Lambda = jnp.zeros(1 + ops_probe.dim, dtype)
+    scaling = float(scaling0)
+    sigma = float(sigma_threshold)
+    stats_rows = []
+    admm_it = 0
+    total_newton = 0
+    total_lin = 0
+    converged = failed = False
+    u_diff = lam_inc_n = float("inf")
+    max_norm = 0.0
+
+    while not converged and not failed and admm_it < cfg.admm_steps:
+        (u, lam, q_proj, Lambda, nit, nlin, x_failed, max_norm_j, u_diff_j,
+         lam_inc_j) = body_fn(
+            builder_args, Jp_base, u, u_old, lam,
+            jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
+        )
+        u_old = u
+        total_newton += int(nit)
+        total_lin += int(nlin)
+        max_norm = float(max_norm_j)
+        u_diff = float(u_diff_j)
+        lam_inc_n = float(lam_inc_j)
+        x_failed = bool(x_failed)
+        # convergence logic (2d:1226-1250), on host scalars
+        base_conv = (
+            lam_inc_n < cfg.admm_tolerance
+            and u_diff < cfg.admm_tolerance
+            and sigma - max_norm > -cfg.admm_gradient_tolerance * sigma
+        )
+        fake = base_conv and (
+            sigma - max_norm > cfg.admm_gradient_tolerance * sigma
+        )
+        converged = base_conv and not fake
+        stats_rows.append(
+            [scaling, sigma, u_diff, lam_inc_n, max_norm, sigma - max_norm]
+        )
+        if verbose:
+            print(
+                f"  admm {admm_it}: u_diff {u_diff:.3e} lam_inc {lam_inc_n:.3e} "
+                f"max|grad| {max_norm:.3f} newton {int(nit)}"
+                + (" FAKE->rescale" if fake else "")
+            )
+        if fake:
+            scaling *= 2.0
+            admm_it = 0
+        else:
+            admm_it += 1
+        failed = x_failed or (admm_it >= cfg.admm_steps and not converged)
+
+    stats = jnp.zeros((cfg.admm_steps, 6), dtype)
+    if stats_rows:
+        n = min(len(stats_rows), cfg.admm_steps)
+        stats = stats.at[:n].set(jnp.asarray(stats_rows[-n:], dtype))
+    return ADMMState(
+        u=u,
+        u_old=u_old,
+        lam=lam,
+        q_proj=q_proj,
+        Lambda=Lambda,
+        scaling=jnp.asarray(scaling, dtype),
+        admm_it=jnp.asarray(admm_it, jnp.int32),
+        total_newton=jnp.asarray(total_newton, jnp.int32),
+        total_lin_iters=jnp.asarray(total_lin, jnp.int32),
+        converged=jnp.asarray(converged),
+        failed=jnp.asarray(failed),
+        u_diff_norm=jnp.asarray(u_diff, dtype),
+        lam_inc_norm=jnp.asarray(lam_inc_n, dtype),
+        max_grad_norm=jnp.asarray(max_norm, dtype),
+        stats=stats,
+    )

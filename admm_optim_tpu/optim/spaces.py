@@ -1,0 +1,186 @@
+"""Representation adapters for the ADMM solver.
+
+optim.admm's Newton/ADMM logic is representation-agnostic; these adapters
+bind it to a concrete field layout:
+
+ * GlobalOps - fields (C, V) global vectors, tensors (d, d, E); block-ELL
+   SpMV + solvers.mg V-cycle.  Works on any simplex mesh (.ugx input).
+ * PatchOps  - fields (C, *lat, P) brick-patch lattices, tensors
+   (d, d, T, *cells, P); gather-free stencil apply + solvers.patch_mg
+   V-cycle with owner-weighted inner products.  ~6x faster on TPU; needs
+   brick metadata (geomgen meshes).
+
+Both present the same methods, so trajectories agree to roundoff (tested).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import deformation as dfm
+from ..ops import patchdeform as pdfm
+from ..ops import patchstencil as pst
+from ..ops import sparsity
+from ..solvers import mg as mgmod
+from ..solvers import patch_mg as pmg
+
+
+@dataclasses.dataclass
+class GlobalOps:
+    """Current-geometry operator bundle on the global representation."""
+
+    struct: Any  # mg.MGStructure
+    mgdata: Any  # mg.MGData
+    coords: jnp.ndarray  # (V, d)
+    elems: jnp.ndarray  # (E, nl)
+    free: jnp.ndarray  # (C, V) float mask
+
+    @property
+    def dim(self):
+        return self.coords.shape[1]
+
+    def zeros_field(self, dtype):
+        return jnp.zeros((self.dim, self.coords.shape[0]), dtype)
+
+    def zeros_tensor(self, dtype):
+        d = self.dim
+        return jnp.zeros((d, d, self.elems.shape[0]), dtype)
+
+    def A(self, x):
+        return sparsity.spmv_cn(self.struct.patterns[-1], self.mgdata.vals[-1], x)
+
+    def M(self, r):
+        Mf = mgmod.make_preconditioner(self.struct, self.mgdata)
+        return Mf(r.reshape(-1)).reshape(r.shape)
+
+    def dot(self, x, y):
+        return jnp.vdot(x, y)
+
+    def constraints(self, u, ref_volume, ref_barycenter):
+        return dfm.constraints(self.coords, self.elems, u, ref_volume, ref_barycenter)
+
+    def constraint_grads(self, u, ref_volume, ref_barycenter):
+        return dfm.constraint_grads(
+            self.coords, self.elems, u, ref_volume, ref_barycenter, self.free
+        )
+
+    def constraint_hvp(self, u, Lmbda, ref_volume, ref_barycenter, x):
+        return (
+            dfm.constraint_hvp(
+                self.coords, self.elems, u, Lmbda, ref_volume, ref_barycenter,
+                x * self.free,
+            )
+            * self.free
+        )
+
+    def tensor_rhs(self, M):
+        return dfm.tensor_rhs(self.coords, self.elems, M) * self.free
+
+    def z_update(self, u, lam, tau, sigma, norm_name):
+        return dfm.z_update(self.coords, self.elems, u, lam, tau, sigma, norm_name)
+
+    def dual_update(self, u, lam, q_proj, tau):
+        return dfm.dual_update(self.coords, self.elems, u, lam, q_proj, tau)
+
+    def max_grad_norm(self, u, norm_name):
+        if norm_name == "spectral":
+            return dfm.max_spectral_norm(self.coords, self.elems, u)
+        return dfm.max_frobenius_norm(self.coords, self.elems, u)
+
+    def norm_p1(self, f):
+        from .admm import l2_norm_p1
+
+        return l2_norm_p1(self.coords, self.elems, f)
+
+    def norm_pc(self, T):
+        from .admm import l2_norm_pc
+
+        return l2_norm_pc(self.coords, self.elems, T)
+
+
+@dataclasses.dataclass
+class PatchOps:
+    """Operator bundle on the brick-patch representation (TPU fast path)."""
+
+    struct: Any  # pmg.PatchMGStructure
+    data: Any  # pmg.PatchMGData (carries per-level tables)
+    coords_p: jnp.ndarray  # (d, *lat, P)
+
+    @property
+    def ps(self):
+        return self.struct.ps
+
+    @property
+    def dim(self):
+        return self.ps.dim
+
+    @property
+    def tab(self):
+        return self.data.tabs[self.ps.k]
+
+    @property
+    def free(self):
+        return self.tab.free.astype(self.coords_p.dtype)  # (*lat, P); bcasts
+
+    def zeros_field(self, dtype):
+        lvl = self.ps.fine
+        return jnp.zeros((self.dim,) + lvl.lat_shape + (lvl.P,), dtype)
+
+    def zeros_tensor(self, dtype):
+        d = self.dim
+        T = len(self.ps.class_offsets)
+        m = self.ps.fine.m
+        return jnp.zeros((d, d, T) + (m,) * d + (self.ps.fine.P,), dtype)
+
+    def A(self, x):
+        y = pst.exchange_sum(None, pst.apply_w(self.ps, self.data.W[self.ps.k], x), self.tab)
+        return y * self.free
+
+    def M(self, r):
+        return pmg.vcycle_p(self.struct, self.data, r)
+
+    def dot(self, x, y):
+        return pst.owner_dot(None, x, y, self.tab)
+
+    def _cons(self, x_add):
+        """additive -> consistent + free mask."""
+        return pst.exchange_sum(None, x_add, self.tab) * self.free
+
+    def constraints(self, u, ref_volume, ref_barycenter):
+        return pdfm.constraints_p(self.ps, self.coords_p, u, ref_volume, ref_barycenter)
+
+    def constraint_grads(self, u, ref_volume, ref_barycenter):
+        B = pdfm.constraint_grads_p(
+            self.ps, self.coords_p, u, ref_volume, ref_barycenter
+        )
+        return jax.vmap(self._cons)(B)
+
+    def constraint_hvp(self, u, Lmbda, ref_volume, ref_barycenter, x):
+        h = pdfm.constraint_hvp_p(
+            self.ps, self.coords_p, u, Lmbda, ref_volume, ref_barycenter,
+            x * self.free,
+        )
+        return self._cons(h)
+
+    def tensor_rhs(self, M):
+        return self._cons(pdfm.tensor_rhs_p(self.ps, self.coords_p, M))
+
+    def z_update(self, u, lam, tau, sigma, norm_name):
+        return pdfm.z_update_p(self.ps, self.coords_p, u, lam, tau, sigma, norm_name)
+
+    def dual_update(self, u, lam, q_proj, tau):
+        return pdfm.dual_update_p(self.ps, self.coords_p, u, lam, q_proj, tau)
+
+    def max_grad_norm(self, u, norm_name):
+        if norm_name == "spectral":
+            return pdfm.max_spectral_norm_p(self.ps, self.coords_p, u)
+        return pdfm.max_frobenius_norm_p(self.ps, self.coords_p, u)
+
+    def norm_p1(self, f):
+        return pdfm.l2_norm_p1_p(self.ps, self.coords_p, f)
+
+    def norm_pc(self, T):
+        return pdfm.l2_norm_pc_p(self.ps, self.coords_p, T)

@@ -87,15 +87,20 @@ def bicgstab(
     max_iters: int = 2000,
     abs_tol: float = 1e-12,
     rel_tol: float = 0.0,
+    dot: Callable | None = None,
 ) -> SolveResult:
     """Right-preconditioned BiCGStab, mirroring the reference's
-    bicgstab+gmg linear solver preset (obstacle_optim_util.lua:9-44)."""
+    bicgstab+gmg linear solver preset (obstacle_optim_util.lua:9-44).
+    dot: custom inner product (e.g. owner-weighted patch dot)."""
+    if dot is None:
+        dot = jnp.vdot
+    _nrm = lambda x: jnp.sqrt(dot(x, x).real)
     if x0 is None:
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
     r0 = b - A(x0)
-    nrm0 = _norm(r0)
+    nrm0 = _nrm(r0)
     tol = jnp.maximum(abs_tol, rel_tol * nrm0)
     rhat = r0
 
@@ -108,22 +113,22 @@ def bicgstab(
         active = cond(state)
         old = state
         x, r, p, v, rho, alpha, omega, it, nrm, ok = state
-        rho_new = jnp.vdot(rhat, r)
+        rho_new = dot(rhat, r)
         beta = (rho_new / _safe(rho)) * (alpha / _safe(omega))
         p = r + beta * (p - omega * v)
         phat = M(p)
         v = A(phat)
-        denom = jnp.vdot(rhat, v)
+        denom = dot(rhat, v)
         alpha = rho_new / _safe(denom)
         s = r - alpha * v
         shat = M(s)
         t = A(shat)
-        tt = jnp.vdot(t, t)
-        omega = jnp.vdot(t, s) / _safe(tt)
+        tt = dot(t, t)
+        omega = dot(t, s) / _safe(tt)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
         bad = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(denom) < 1e-300)
-        new = (x, r, p, v, rho_new, alpha, omega, it + 1, _norm(r), ~bad)
+        new = (x, r, p, v, rho_new, alpha, omega, it + 1, _nrm(r), ~bad)
         return jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new, old)
 
     one = jnp.ones((), b.dtype)

@@ -107,6 +107,109 @@ def newton_solve(
     return s, it, nrm, nrm <= cfg.accept_tol
 
 
+def newton_solve_stepped(
+    space,
+    coords,
+    s0,
+    visc,
+    stab=0.0,
+    cfg: NewtonConfig = NewtonConfig(),
+    M_fn=None,
+    m_args=(),
+    step_jit_cache: dict | None = None,
+    verbose: bool = False,
+):
+    """Host-stepped Newton: same semantics as newton_solve, but one Newton
+    iteration per device execution (GMRES capped at cfg.lin_max_iters per
+    iteration).
+
+    Why: single monolithic Newton programs reach 130+ MB of generated code
+    and multi-minute single executions, which proved unreliable through the
+    TPU tunnel (worker resets) and compile minutes-slow; the per-iteration
+    kernel is ~8x smaller, robust, and the host loop gives per-iteration
+    ConvCheck telemetry (the reference prints each Newton step too,
+    obstacle_optim_util.lua:71-97).  Cost: ~2 dispatch round-trips per
+    iteration - negligible beyond toy sizes.
+
+    M_fn(r, *m_args): preconditioner as a FUNCTION of runtime pytree args
+    (not a closure - closed-over device arrays would be baked into the
+    compiled kernel as constants and go stale when the geometry moves).
+    step_jit_cache: per-problem dict to reuse compiled kernels across calls.
+    """
+    default_M = M_fn is None
+    cache = step_jit_cache if step_jit_cache is not None else {}
+    key = ("newton_step", id(space), stab, cfg, default_M)
+
+    if key not in cache:
+
+        def step(coords, s, visc, nrm, m_args):
+            def R(ss):
+                return nsops.ns_residual(space, coords, ss, visc, stab)
+
+            if default_M:
+                diag_M = nsops.diag_preconditioner(space, coords, visc)
+                Mx = diag_M
+            else:
+                Mx = lambda x: M_fn(x, *m_args)
+            r = R(s)
+            Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
+            res = gmres(
+                Jv,
+                -r,
+                M=Mx,
+                restart=cfg.lin_restart,
+                max_iters=cfg.lin_max_iters,
+                abs_tol=max(cfg.lin_abs_tol, 0.1 * cfg.accept_tol),
+                rel_tol=cfg.lin_rel_tol,
+            )
+
+            def ls_body(k, carry):
+                best_s, best_nrm = carry
+                lam = cfg.line_search_reduce**k
+                s_try = s + lam * res.x
+                rt = R(s_try)
+                nrm_t = jnp.sqrt(jnp.vdot(rt, rt))
+                better = nrm_t < best_nrm
+                return (
+                    jnp.where(better, s_try, best_s),
+                    jnp.where(better, nrm_t, best_nrm),
+                )
+
+            s_new, nrm_new = jax.lax.fori_loop(
+                0, cfg.line_search_steps, ls_body, (s, nrm)
+            )
+            return s_new, nrm_new, res.iters
+
+        def resnorm(coords, s, visc):
+            r = nsops.ns_residual(space, coords, s, visc, stab)
+            return jnp.sqrt(jnp.vdot(r, r))
+
+        cache[key] = (jax.jit(step), jax.jit(resnorm))
+    step_fn, resnorm_fn = cache[key]
+
+    nrm = float(resnorm_fn(coords, s0, visc))
+    s = s0
+    it = 0
+    while nrm > cfg.abs_tol and it < cfg.max_iters:
+        s_new, nrm_new, lin_its = step_fn(
+            coords, s, visc, jnp.asarray(nrm, s0.dtype), m_args
+        )
+        nrm_new = float(nrm_new)
+        if verbose:
+            print(f"  newton {it}: |R| {nrm:.3e} -> {nrm_new:.3e} ({int(lin_its)} lin)")
+        stalled = nrm_new >= nrm * (1.0 - 1e-14)
+        s, nrm = s_new, nrm_new
+        it += 1
+        if stalled:
+            break
+    return (
+        s,
+        jnp.asarray(it, jnp.int32),
+        jnp.asarray(nrm, s0.dtype),
+        jnp.asarray(nrm <= cfg.accept_tol),
+    )
+
+
 def adjoint_solve(
     space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None
 ):

@@ -1,0 +1,156 @@
+"""Patch-space ADMM == global-space ADMM, iterate for iterate.
+
+The two representation adapters (optim.spaces) must produce identical
+trajectories: same ADMM/Newton/Krylov iteration counts and matching u,
+Lambda, convergence flags to solver tolerance.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from admm_optim_tpu.core import geomgen
+from admm_optim_tpu.core.mesh import Hierarchy, refine
+from admm_optim_tpu.core.patches import build_patchset
+from admm_optim_tpu.ops import patchdeform as pdfm
+from admm_optim_tpu.ops import patchstencil as pst
+from admm_optim_tpu.ops import deformation as dfm
+from admm_optim_tpu.ops import sparsity
+from admm_optim_tpu.ops.deformation import (
+    deformation_corner_mats,
+    deformation_elem_mats,
+)
+from admm_optim_tpu.ops.geometry import elem_geometry
+from admm_optim_tpu.ops.p1space import P1VectorSpace
+from admm_optim_tpu.optim import admm
+from admm_optim_tpu.optim.spaces import GlobalOps, PatchOps
+from admm_optim_tpu.solvers import patch_mg
+
+
+def _setup(dim, refs):
+    lvl0 = (
+        geomgen.channel_2d(n_side=(3, 1), diag="fixed")
+        if dim == 2
+        else geomgen.channel_3d(n_side=(2, 1, 1))
+    )
+    levels = [lvl0]
+    for _ in range(refs):
+        levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    ps = build_patchset(hier)
+    space = P1VectorSpace.build(hier)
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords)
+    elems = jnp.asarray(fine.elems)
+    cfg = admm.ADMMConfig(
+        admm_steps=6, ns_max_its=6, lin_max_iters=60, tau=2.0,
+        admm_tolerance=1e-2,
+    )
+
+    # global ops
+    struct_e = space.mg_structure()
+    data_e = space.assemble_mg(struct_e, coords, cfg.c_eps, cfg.tau, cfg.c_mass)
+    gops = GlobalOps(struct_e, data_e, coords, elems, space.free_mask())
+
+    # patch ops
+    pat0 = space.patterns[0]
+    fixed0 = jnp.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), cfg.c_eps, cfg.tau, cfg.c_mass
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, fixed0)
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    struct_p = patch_mg.PatchMGStructure(ps)
+    tabs = patch_mg.make_level_tables(ps, coords.dtype)
+    data_p = patch_mg.assemble_patch_mg(
+        ps, struct_p, coords,
+        lambda x: deformation_corner_mats(x, cfg.c_eps, cfg.tau, cfg.c_mass),
+        base_dense_fn, tabs=tabs,
+    )
+    pops = PatchOps(struct_p, data_p, pst.to_patch(ps.fine, coords.T))
+
+    # a synthetic inward shape gradient on the obstacle surface
+    obs = jnp.asarray(fine.subset_vertices["obstacle_surface"]).astype(coords.dtype)
+    Jp_g = (
+        -coords / jnp.maximum(jnp.linalg.norm(coords, axis=1, keepdims=True), 0.3)
+        * obs[:, None]
+        * 0.05
+    ).T * space.free_mask().astype(coords.dtype)
+    _, _, _, vol = elem_geometry(coords, elems)
+    ref_vol = jnp.sum(vol)
+    ref_bary = dfm.barycenter(coords, elems, jnp.zeros_like(coords.T))
+    return hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_patchdeform_ops_match_global(dim, refs):
+    hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
+    fine = hier.fine
+    rng = np.random.default_rng(3)
+    u_g = (
+        jnp.asarray(rng.normal(size=(dim, fine.num_vertices)))
+        * gops.free * 1e-2
+    )
+    u_p = pst.to_patch(ps.fine, u_g)
+
+    # constraints
+    g1 = gops.constraints(u_g, ref_vol, ref_bary)
+    g2 = pops.constraints(u_p, ref_vol, ref_bary)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=1e-10, atol=1e-12)
+
+    # constraint gradients (consistent repr): compare via dots with a probe
+    B1 = gops.constraint_grads(u_g, ref_vol, ref_bary)
+    B2 = pops.constraint_grads(u_p, ref_vol, ref_bary)
+    x_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices))) * gops.free
+    x_p = pst.to_patch(ps.fine, x_g)
+    d1 = jax.vmap(lambda b: jnp.vdot(b, x_g))(B1)
+    d2 = jax.vmap(lambda b: pops.dot(b, x_p))(B2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-9, atol=1e-12)
+
+    # hvp
+    L = jnp.asarray(rng.normal(size=(1 + dim,)))
+    h1 = gops.constraint_hvp(u_g, L, ref_vol, ref_bary, x_g)
+    h2 = pops.constraint_hvp(u_p, L, ref_vol, ref_bary, x_p)
+    h2g = pst.from_patch(ps.fine, h2, fine.num_vertices, mode="owner")
+    np.testing.assert_allclose(np.asarray(h2g), np.asarray(h1), rtol=1e-8, atol=1e-11)
+
+    # norms + max grad
+    np.testing.assert_allclose(
+        float(gops.norm_p1(u_g)), float(pops.norm_p1(u_p)), rtol=1e-10
+    )
+    np.testing.assert_allclose(
+        float(gops.max_grad_norm(u_g, "frobenius")),
+        float(pops.max_grad_norm(u_p, "frobenius")),
+        rtol=1e-10,
+    )
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_admm_inner_patch_matches_global(dim, refs):
+    hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
+    fine = hier.fine
+    sigma = jnp.asarray(0.3)
+    scaling = jnp.asarray(1.0)
+
+    st_g = admm.admm_inner_ops(cfg, gops, Jp_g, sigma, scaling, ref_vol, ref_bary)
+    Jp_p = pst.to_patch(ps.fine, Jp_g)
+    st_p = admm.admm_inner_ops(cfg, pops, Jp_p, sigma, scaling, ref_vol, ref_bary)
+
+    assert bool(st_g.converged) == bool(st_p.converged)
+    assert bool(st_g.failed) == bool(st_p.failed)
+    assert int(st_g.admm_it) == int(st_p.admm_it)
+    assert int(st_g.total_newton) == int(st_p.total_newton)
+    np.testing.assert_allclose(
+        np.asarray(st_g.Lambda), np.asarray(st_p.Lambda), rtol=1e-6, atol=1e-9
+    )
+    u_pg = pst.from_patch(ps.fine, st_p.u, fine.num_vertices, mode="owner")
+    err = float(jnp.linalg.norm(u_pg - st_g.u) / jnp.maximum(jnp.linalg.norm(st_g.u), 1e-30))
+    assert err < 1e-6
+    np.testing.assert_allclose(
+        float(st_g.u_diff_norm), float(st_p.u_diff_norm), rtol=1e-6
+    )
