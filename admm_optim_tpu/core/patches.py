@@ -230,6 +230,87 @@ def _slab_exchange_tables(dim, gid, bslots, bseg, nseg):
     )
 
 
+def pad_patch_level(lvl: PatchLevel, P_pad: int) -> PatchLevel:
+    """Pad the patch axis to P_pad with inert dummy patches.
+
+    Dummies replicate patch 0's gid (so their lattice coordinates, hence
+    element matrices, stay finite) but carry owner=0, free=0 and zero face
+    masks: they never contribute to exchanges, inner products, or the
+    owner-picked global gather, so every operator is exactly unchanged on
+    the real patches."""
+    P, pad = lvl.P, P_pad - lvl.P
+    if pad <= 0:
+        return lvl
+    lat = lvl.lat_shape
+    dim = len(lat)
+    gid = np.concatenate([lvl.gid, np.repeat(lvl.gid[:1], pad, axis=0)], axis=0)
+    site = lvl.bslots // P
+    pch = lvl.bslots % P
+    bslots = site * P_pad + pch
+    owner = np.concatenate(
+        [lvl.owner, np.zeros(lat + (pad,), lvl.owner.dtype)], axis=-1
+    )
+    free = np.concatenate([lvl.free, np.zeros(lat + (pad,), lvl.free.dtype)], axis=-1)
+    kw = {}
+    if lvl.use_slab:
+        nbr_pad = np.tile(
+            np.arange(P, P_pad, dtype=np.int32), (dim, 2, 1)
+        )
+        kw["face_nbr"] = np.concatenate([lvl.face_nbr, nbr_pad], axis=-1)
+        kw["face_mask"] = np.concatenate(
+            [lvl.face_mask, np.zeros((dim, 2, pad), lvl.face_mask.dtype)], axis=-1
+        )
+        kw["corr_idx"] = lvl.corr_idx
+        kw["corr_group_oh"] = lvl.corr_group_oh
+        if lvl.corr_nseg:
+            slab_oh, keep = [], []
+            for f in range(2 * dim):
+                a = f // 2
+                slab_lat = tuple(lat[b] for b in range(dim) if b != a)
+                G = lvl.corr_slab_oh[f].shape[0]
+                oh = lvl.corr_slab_oh[f].reshape((G,) + slab_lat + (P,))
+                oh = np.concatenate(
+                    [oh, np.zeros((G,) + slab_lat + (pad,), oh.dtype)], axis=-1
+                )
+                slab_oh.append(oh.reshape(G, -1))
+                k = np.concatenate(
+                    [lvl.corr_keep[f], np.ones(slab_lat + (pad,), np.float32)],
+                    axis=-1,
+                )
+                keep.append(k)
+            kw["corr_slab_oh"] = slab_oh
+            kw["corr_keep"] = keep
+    return PatchLevel(
+        m=lvl.m,
+        gid=gid,
+        bslots=bslots,
+        bseg=lvl.bseg,
+        nseg=lvl.nseg,
+        owner=owner,
+        free=free,
+        corr_nseg=lvl.corr_nseg,
+        use_slab=lvl.use_slab,
+        **kw,
+    )
+
+
+def pad_patchset(ps: PatchSet, multiple: int) -> PatchSet:
+    """Pad every level's patch axis to a multiple (for sharding P over a
+    device mesh axis, parallel.patch_shard)."""
+    P_pad = -(-ps.P // multiple) * multiple
+    if P_pad == ps.P:
+        return ps
+    return PatchSet(
+        dim=ps.dim,
+        k=ps.k,
+        P=P_pad,
+        levels=[pad_patch_level(lvl, P_pad) for lvl in ps.levels],
+        class_offsets=ps.class_offsets,
+        stencil=ps.stencil,
+        stencil_slot=ps.stencil_slot,
+    )
+
+
 def build_patchset(hier: Hierarchy, dirichlet=("inlet", "wall", "outlet")) -> PatchSet:
     """Build the patch view of a hierarchy whose level 0 carries brick
     metadata (core.geomgen channel_2d(diag="fixed") / channel_3d)."""

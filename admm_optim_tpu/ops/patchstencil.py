@@ -148,6 +148,21 @@ def apply_w(ps: PatchSet, W, x):
 # consistency exchange / inner products / global glue
 # ---------------------------------------------------------------------------
 
+@dataclasses.dataclass(frozen=True)
+class SpmdCtx:
+    """Spatial-SPMD context: the patch axis P is sharded over a named mesh
+    axis (the TPU-native analogue of the reference's MPI domain
+    decomposition, 2d_admm.lua:147-209).  Device d owns the contiguous patch
+    block [d*Pl, (d+1)*Pl); geomgen emits bricks x-major so contiguous
+    blocks are spatially coherent slabs of the channel.  All patchstencil
+    primitives accept ``spmd`` and, when set, must run inside shard_map over
+    that axis: halo coupling becomes all-gathers of tiny face slabs +
+    psums (riding ICI), everything else stays patch-local."""
+
+    axis: str
+    nshards: int
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LevelTables:
@@ -156,7 +171,12 @@ class LevelTables:
     A pytree meant to be passed as a jit ARGUMENT: baking these arrays in as
     constants (the jnp.asarray-inside-jit pattern) embeds tens of MB into
     every compiled program, which makes compiles minutes-slow and defeats
-    the persistent compilation cache."""
+    the persistent compilation cache.
+
+    Sharding layout (parallel.patch_shard): owner/free/gid carry the patch
+    axis minor-most and are sharded over the spmd axis; neighbor/correction
+    tables are small and replicated (each shard dynamic-slices its patch
+    block)."""
 
     owner: jnp.ndarray
     free: jnp.ndarray
@@ -168,18 +188,20 @@ class LevelTables:
     corr_keep: tuple | None
     bslots: jnp.ndarray | None
     bseg: jnp.ndarray | None
+    gid: jnp.ndarray | None = None  # (*lat, P) int32 global vertex ids
     # static
     nseg: int = 0
     corr_nseg: int = 0
     use_slab: bool = False
+    P_total: int = 0
 
     def tree_flatten(self):
         children = (
             self.owner, self.free, self.face_nbr, self.face_mask,
             self.corr_idx, self.corr_group_oh, self.corr_slab_oh,
-            self.corr_keep, self.bslots, self.bseg,
+            self.corr_keep, self.bslots, self.bseg, self.gid,
         )
-        return children, (self.nseg, self.corr_nseg, self.use_slab)
+        return children, (self.nseg, self.corr_nseg, self.use_slab, self.P_total)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -213,13 +235,22 @@ def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
         ),
         bslots=None if slab else jnp.asarray(lvl.bslots),
         bseg=None if slab else jnp.asarray(lvl.bseg),
+        gid=jnp.moveaxis(jnp.asarray(lvl.gid), 0, -1),
         nseg=lvl.nseg,
         corr_nseg=lvl.corr_nseg,
         use_slab=slab,
+        P_total=lvl.P,
     )
 
 
-def exchange_sum(lvl: PatchLevel, x, tab: LevelTables | None = None):
+def _shard_offset(tab: LevelTables, Pl: int, spmd: SpmdCtx):
+    """First global patch id of this shard's contiguous block."""
+    return jax.lax.axis_index(spmd.axis) * Pl
+
+
+def exchange_sum(
+    lvl: PatchLevel, x, tab: LevelTables | None = None, spmd: SpmdCtx | None = None
+):
     """additive -> consistent: sum duplicated boundary sites (psum analogue
     of UG4's change_storage_type_to_consistent, 2d_admm.lua:904).
 
@@ -228,11 +259,20 @@ def exchange_sum(lvl: PatchLevel, x, tab: LevelTables | None = None):
     patch-axis gather + static slab writes; staircase-broken edge/corner
     groups are fixed scatter-free via one-hot matmuls.  Measured ~7x faster
     than the segment-sum path on v5e (dynamic scatters into large arrays
-    cost ~5 ms regardless of index count)."""
+    cost ~5 ms regardless of index count).
+
+    With ``spmd`` set (inside shard_map, patch axis sharded) this is the
+    halo exchange: each sweep all-gathers the two face slabs over the mesh
+    axis (the only inter-device traffic; O(lat^(d-1) * P) elements) and the
+    correction pass psums the Bc edge/corner values."""
     if tab is None:
         tab = make_tables(lvl, x.dtype)
     if tab.use_slab:
-        return _exchange_slab(tab, x)
+        return _exchange_slab(tab, x) if spmd is None else _exchange_slab_spmd(
+            tab, x, spmd
+        )
+    if spmd is not None:
+        return _exchange_segsum_spmd(tab, x, spmd)
     return _exchange_segsum(tab, x)
 
 
@@ -278,10 +318,96 @@ def _exchange_slab(tab: LevelTables, x):
     return x
 
 
-def owner_dot(lvl: PatchLevel, x, y, tab: LevelTables | None = None):
+def _exchange_slab_spmd(tab: LevelTables, x, spmd: SpmdCtx):
+    """Halo-exchange slab sweep for a patch-sharded x (inside shard_map).
+
+    Identical arithmetic to _exchange_slab: per lattice axis, both face
+    slabs are all-gathered over the mesh axis (this is the halo traffic;
+    everything else is shard-local), then each local patch adds its
+    neighbor's opposite slab.  The correction pass psums the Bc
+    staircase-broken edge/corner values (replicated small vector)."""
+    dim = x.ndim - 2  # (C, *lat, P_local)
+    C = x.shape[0]
+    lat = x.shape[1 : 1 + dim]
+    Pl = x.shape[-1]
+    off = _shard_offset(tab, Pl, spmd)
+    nbr = tab.face_nbr  # (dim, 2, P) global, replicated
+    mask = tab.face_mask.astype(x.dtype)
+    x_in = x
+    for a in range(dim):
+        lo = [slice(None)] * (dim + 2)
+        hi = [slice(None)] * (dim + 2)
+        lo[1 + a], hi[1 + a] = 0, lat[a] - 1
+        lo, hi = tuple(lo), tuple(hi)
+        slab_lo, slab_hi = x[lo], x[hi]  # (C, *rest, Pl)
+        lo_all = jax.lax.all_gather(slab_lo, spmd.axis, axis=slab_lo.ndim - 1, tiled=True)
+        hi_all = jax.lax.all_gather(slab_hi, spmd.axis, axis=slab_hi.ndim - 1, tiled=True)
+        nbr_lo = jax.lax.dynamic_slice_in_dim(nbr[a, 0], off, Pl, axis=0)
+        nbr_hi = jax.lax.dynamic_slice_in_dim(nbr[a, 1], off, Pl, axis=0)
+        m_lo = jax.lax.dynamic_slice_in_dim(mask[a, 0], off, Pl, axis=0)
+        m_hi = jax.lax.dynamic_slice_in_dim(mask[a, 1], off, Pl, axis=0)
+        new_lo = slab_lo + hi_all[..., nbr_lo] * m_lo
+        new_hi = slab_hi + lo_all[..., nbr_hi] * m_hi
+        x = x.at[lo].set(new_lo).at[hi].set(new_hi)
+    if tab.corr_nseg:
+        lat_idx = tab.corr_idx[:-1]
+        pch = tab.corr_idx[-1]  # (Bc,) global patch ids
+        local = (pch >= off) & (pch < off + Pl)
+        pl_idx = jnp.clip(pch - off, 0, Pl - 1)
+        vals = x_in[(slice(None),) + lat_idx + (pl_idx,)] * local.astype(x.dtype)
+        vals = jax.lax.psum(vals, spmd.axis)  # (C, Bc) replicated
+        sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
+        for f in range(2 * dim):
+            a, sd = f // 2, f % 2
+            sl = [slice(None)] * (dim + 2)
+            sl[1 + a] = 0 if sd == 0 else lat[a] - 1
+            sl = tuple(sl)
+            slab_shape_l = x[sl].shape[1:]  # (*rest, Pl)
+            full_shape = slab_shape_l[:-1] + (tab.P_total,)
+            dense = (sums @ tab.corr_slab_oh[f].astype(x.dtype)).reshape(
+                (C,) + full_shape
+            )
+            dense_loc = jax.lax.dynamic_slice_in_dim(dense, off, Pl, axis=dense.ndim - 1)
+            keep = tab.corr_keep[f].astype(x.dtype)
+            keep_loc = jax.lax.dynamic_slice_in_dim(keep, off, Pl, axis=keep.ndim - 1)
+            x = x.at[sl].set(x[sl] * keep_loc[None] + dense_loc)
+    return x
+
+
+def _exchange_segsum_spmd(tab: LevelTables, x, spmd: SpmdCtx):
+    """General duplicate-sum under patch sharding: psum the (C, B) boundary
+    values (B = total duplicated slots) and write back the local ones.
+    Fallback for non-composable brick adjacencies; the slab path is the
+    fast one."""
+    C = x.shape[0]
+    Pl = x.shape[-1]
+    P = tab.P_total
+    off = _shard_offset(tab, Pl, spmd)
+    site = tab.bslots // P
+    pch = (tab.bslots % P).astype(jnp.int32)
+    local = (pch >= off) & (pch < off + Pl)
+    loc_flat = site * Pl + jnp.clip(pch - off, 0, Pl - 1)
+    xf = x.reshape(C, -1)
+    vals = xf[:, loc_flat] * local.astype(x.dtype)  # (C, B)
+    vals = jax.lax.psum(vals, spmd.axis)
+    s = jax.vmap(
+        lambda v: jax.ops.segment_sum(v, tab.bseg, num_segments=tab.nseg)
+    )(vals)
+    out = s[:, tab.bseg]  # (C, B) consistent values for every duplicate slot
+    # masked write-back: route non-local slots to a sacrificial padding column
+    wf = jnp.where(local, loc_flat, xf.shape[1])
+    xp = jnp.pad(xf, ((0, 0), (0, 1)))
+    xp = xp.at[:, wf].set(out)
+    return xp[:, :-1].reshape(x.shape)
+
+
+def owner_dot(
+    lvl: PatchLevel, x, y, tab: LevelTables | None = None, spmd: SpmdCtx | None = None
+):
     """Global inner product of two consistent patch vectors."""
     w = tab.owner.astype(x.dtype) if tab is not None else jnp.asarray(lvl.owner, x.dtype)
-    return jnp.sum(x * y * w[None])
+    d = jnp.sum(x * y * w[None])
+    return d if spmd is None else jax.lax.psum(d, spmd.axis)
 
 
 def to_patch(lvl: PatchLevel, v_global):
@@ -304,6 +430,30 @@ def from_patch(lvl: PatchLevel, x, n_vertices: int, mode: str = "owner"):
     return jax.vmap(
         lambda v: jax.ops.segment_sum(v, gid, num_segments=n_vertices)
     )(xf)
+
+
+def to_patch_tab(tab: LevelTables, v_global):
+    """global (C, V) consistent (replicated under spmd) -> patch local."""
+    return v_global[:, tab.gid]
+
+
+def from_patch_tab(
+    tab: LevelTables, x, n_vertices: int, mode: str = "owner",
+    spmd: SpmdCtx | None = None,
+):
+    """patch (C, *lat, P[_local]) -> global (C, V), replicated under spmd
+    (the gathered-base-solve glue; reference's gatheredBaseSolverIfAmbiguous,
+    obstacle_optim_util.lua:21)."""
+    C = x.shape[0]
+    xf = x.reshape(C, -1)
+    if mode == "owner":
+        xf = xf * tab.owner.astype(x.dtype).reshape(-1)[None]
+    out = jax.vmap(
+        lambda v: jax.ops.segment_sum(
+            v, tab.gid.reshape(-1), num_segments=n_vertices
+        )
+    )(xf)
+    return out if spmd is None else jax.lax.psum(out, spmd.axis)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,221 @@
+"""Vertex-partitioned halo-exchange multigrid over a device mesh.
+
+The scaling path beyond replicated vertices (parallel.sharding): the brick-
+patch lattice (core.patches) is sharded over a named mesh axis along the
+patch dimension P.  Patches correspond to coarse bricks at EVERY level of
+the hierarchy, so one partition serves the whole V-cycle - no level-wise
+repartitioning is needed; the reference's process-hierarchy agglomeration
+(2d_admm.lua:174-206) reduces here to the psum-gathered replicated dense
+base solve (the gatheredBaseSolverIfAmbiguous analogue,
+obstacle_optim_util.lua:21).
+
+Communication per operator application (ops.patchstencil spmd paths):
+ * halo exchange  - per lattice axis, all-gather of the two face slabs
+   (O(C * lat^(d-1) * P) elements, tiny vs the O(C * lat^d * P/D) local
+   work) - the ICI analogue of UG4's additive->consistent halo protocol
+   (2d_admm.lua:904-961);
+ * correction psum - (C, Bc) edge/corner duplicate values;
+ * dot products   - scalar psum.
+
+geomgen emits bricks x-major, so contiguous patch blocks are spatially
+coherent channel slabs (the analytic block partitioning that replaces
+ParMETIS, SURVEY.md section 2b).
+
+Everything runs inside ONE jax.shard_map region per solve: the V-cycle,
+CG iteration, and assembly reuse the exact single-device code in
+solvers.patch_mg with struct.spmd set - tested to produce identical
+iterates.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.patches import PatchSet, pad_patchset
+from ..ops import patchstencil as st
+from ..solvers import patch_mg as pmg
+
+
+def _last_axis_spec(arr_ndim: int, axis: str) -> P:
+    return P(*([None] * (arr_ndim - 1) + [axis]))
+
+
+@dataclasses.dataclass
+class ShardedPatchMG:
+    """Sharded-P view of a patch hierarchy + MG solver entry points."""
+
+    ps: PatchSet  # PADDED patch set (P % n_shards == 0)
+    struct: pmg.PatchMGStructure  # carries spmd ctx
+    mesh: Mesh
+    axis: str
+
+    @property
+    def spmd(self) -> st.SpmdCtx:
+        return self.struct.spmd
+
+    @property
+    def n_shards(self) -> int:
+        return self.spmd.nshards
+
+    # ---- partition specs ---------------------------------------------------
+
+    def table_specs(self, lvl_idx: int):
+        """LevelTables pytree of PartitionSpecs: owner/free/gid sharded on
+        the patch axis, small neighbor/correction tables replicated."""
+        lvl = self.ps.levels[lvl_idx]
+        dim = self.ps.dim
+        shard = P(*([None] * dim + [self.axis]))
+        rep = P()
+        return st.LevelTables(
+            owner=shard,
+            free=shard,
+            face_nbr=rep if lvl.use_slab else None,
+            face_mask=rep if lvl.use_slab else None,
+            corr_idx=(
+                tuple(rep for _ in lvl.corr_idx)
+                if lvl.use_slab and lvl.corr_nseg
+                else None
+            ),
+            corr_group_oh=rep if lvl.use_slab and lvl.corr_nseg else None,
+            corr_slab_oh=(
+                tuple(rep for _ in lvl.corr_slab_oh)
+                if lvl.use_slab and lvl.corr_nseg
+                else None
+            ),
+            corr_keep=(
+                tuple(rep for _ in lvl.corr_keep)
+                if lvl.use_slab and lvl.corr_nseg
+                else None
+            ),
+            bslots=None if lvl.use_slab else rep,
+            bseg=None if lvl.use_slab else rep,
+            gid=shard,
+            nseg=lvl.nseg,
+            corr_nseg=lvl.corr_nseg,
+            use_slab=lvl.use_slab,
+            P_total=lvl.P,
+        )
+
+    def field_spec(self, extra_leading: int = 1) -> P:
+        """(C, *lat, P) patch fields: sharded on the trailing patch axis."""
+        return P(*([None] * (extra_leading + self.ps.dim) + [self.axis]))
+
+    def data_specs(self):
+        """PatchMGData pytree of PartitionSpecs."""
+        dim = self.ps.dim
+        W = [P(*([None] * (3 + dim) + [self.axis])) for _ in self.ps.levels]
+        invd = [P(*([None] * (1 + dim) + [self.axis])) for _ in self.ps.levels]
+        lmax = [P() for _ in self.ps.levels]
+        tabs = [self.table_specs(l) for l in range(len(self.ps.levels))]
+        return pmg.PatchMGData(W, invd, lmax, P(), tabs)
+
+    # ---- placement ----------------------------------------------------------
+
+    def make_tables(self, dtype=jnp.float32):
+        """Device tables placed according to table_specs."""
+        tabs = pmg.make_level_tables(self.ps, dtype)
+        out = []
+        for l, tab in enumerate(tabs):
+            spec = self.table_specs(l)
+            out.append(
+                jax.tree_util.tree_map(
+                    lambda a, sp: jax.device_put(a, NamedSharding(self.mesh, sp)),
+                    tab,
+                    spec,
+                )
+            )
+        return out
+
+    def to_patch_sharded(self, v_global):
+        """global (C, V) -> sharded patch layout (C, *lat, P)."""
+        x = st.to_patch(self.ps.fine, jnp.asarray(v_global))
+        return jax.device_put(
+            x, NamedSharding(self.mesh, self.field_spec(v_global.ndim - 1))
+        )
+
+    def to_patch_sharded_raw(self, x_patch):
+        """place an existing (*, *lat, P) patch array on the mesh."""
+        extra = x_patch.ndim - self.ps.dim - 1
+        return jax.device_put(
+            jnp.asarray(x_patch), NamedSharding(self.mesh, self.field_spec(extra))
+        )
+
+    # ---- shard_map entry points ---------------------------------------------
+
+    def assemble_fn(self, corner_mat_fn: Callable, base_dense_fn: Callable):
+        """jit-able (coords_p, tabs) -> PatchMGData, sharded end to end."""
+        fs = self.field_spec()
+        tab_specs = [self.table_specs(l) for l in range(len(self.ps.levels))]
+
+        def asm(coords_p, tabs):
+            return pmg.assemble_patch_mg_p(
+                self.ps, self.struct, coords_p, corner_mat_fn, base_dense_fn, tabs
+            )
+
+        return jax.shard_map(
+            asm,
+            mesh=self.mesh,
+            in_specs=(fs, tab_specs),
+            out_specs=self.data_specs(),
+            check_vma=False,
+        )
+
+    def solve_fn(self, max_iters: int = 60, rel_tol: float = 1e-8,
+                 abs_tol: float = 0.0):
+        """jit-able (data, b) -> krylov result, MG-preconditioned CG."""
+        fs = self.field_spec()
+
+        def solve(data, b):
+            return pmg.cg_p(
+                self.struct, data, b,
+                max_iters=max_iters, rel_tol=rel_tol, abs_tol=abs_tol,
+            )
+
+        from ..solvers import krylov
+
+        res_spec = krylov.SolveResult(x=fs, iters=P(), res_norm=P(), converged=P())
+        return jax.shard_map(
+            solve,
+            mesh=self.mesh,
+            in_specs=(self.data_specs(), fs),
+            out_specs=res_spec,
+            check_vma=False,
+        )
+
+    def vcycle_fn(self):
+        fs = self.field_spec()
+
+        def vc(data, b):
+            return pmg.vcycle_p(self.struct, data, b)
+
+        return jax.shard_map(
+            vc, mesh=self.mesh, in_specs=(self.data_specs(), fs),
+            out_specs=fs, check_vma=False,
+        )
+
+
+def build_sharded_mg(
+    ps: PatchSet,
+    mesh: Mesh,
+    axis: str = "space",
+    pre_smooth: int = 3,
+    post_smooth: int = 3,
+    cheb_lower: float = 0.25,
+) -> ShardedPatchMG:
+    """Pad P to the axis size and wire up the spmd MG structure."""
+    n = int(mesh.shape[axis])
+    ps_pad = pad_patchset(ps, n)
+    struct = pmg.PatchMGStructure(
+        ps_pad,
+        pre_smooth=pre_smooth,
+        post_smooth=post_smooth,
+        cheb_lower=cheb_lower,
+        spmd=st.SpmdCtx(axis=axis, nshards=n),
+    )
+    return ShardedPatchMG(ps=ps_pad, struct=struct, mesh=mesh, axis=axis)

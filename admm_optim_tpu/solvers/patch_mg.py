@@ -33,6 +33,10 @@ class PatchMGStructure:
     pre_smooth: int = 3
     post_smooth: int = 3
     cheb_lower: float = 0.25
+    # set (parallel.patch_shard) to run the whole cycle inside shard_map
+    # with the patch axis sharded: exchanges become halo all-gathers, dots
+    # become psums, the base solve psum-gathers to a replicated dense solve
+    spmd: st.SpmdCtx | None = None
 
 
 @jax.tree_util.register_pytree_node_class
@@ -54,31 +58,51 @@ class PatchMGData:
         return cls(*children)
 
 
-def _apply(ps, tab, W, x):
+def _apply(ps, tab, W, x, spmd=None):
     """exchange(A x) restricted to the free subspace."""
-    y = st.exchange_sum(None, st.apply_w(ps, W, x), tab)
+    y = st.exchange_sum(None, st.apply_w(ps, W, x), tab, spmd=spmd)
     return y * tab.free[None].astype(x.dtype)
 
 
-def estimate_lmax_p(ps, tab, W, inv_diag, iters: int = 15):
+def _lmax_init(tab, shape, dtype, spmd=None):
+    """Deterministic start vector, a function of GLOBAL flat index so the
+    sharded and single-device paths produce identical iterates."""
+    C = shape[0]
+    lat = shape[1:-1]
+    Pl = shape[-1]
+    P = tab.P_total if tab.P_total else Pl
+    S = int(np.prod(lat))
+    off = st._shard_offset(tab, Pl, spmd) if spmd is not None else 0
+    c_i = jnp.arange(C).reshape((C,) + (1,) * (len(lat) + 1))
+    s_i = jnp.arange(S).reshape((1,) + tuple(lat) + (1,))
+    p_i = (jnp.arange(Pl) + off).reshape((1,) * (len(lat) + 1) + (Pl,))
+    flat = ((c_i * S + s_i) * P + p_i).astype(dtype)
+    return jnp.sin(flat) + 1.0
+
+
+def estimate_lmax_p(ps, tab, W, inv_diag, iters: int = 15, spmd=None):
     """Power iteration for lambda_max(D^-1 A) with owner-weighted norms."""
-    shape = inv_diag.shape
-    n = int(np.prod(shape))
-    x = (jnp.sin(jnp.arange(n, dtype=W.dtype)) + 1.0).reshape(shape)
-    x = st.exchange_sum(None, x, tab) * tab.free[None].astype(x.dtype)
+    x = _lmax_init(tab, inv_diag.shape, W.dtype, spmd)
+    x = st.exchange_sum(None, x, tab, spmd=spmd) * tab.free[None].astype(x.dtype)
 
     def body(i, x):
-        y = inv_diag * _apply(ps, tab, W, x)
-        return y / jnp.maximum(jnp.sqrt(st.owner_dot(None, y, y, tab)), 1e-30)
+        y = inv_diag * _apply(ps, tab, W, x, spmd)
+        return y / jnp.maximum(
+            jnp.sqrt(st.owner_dot(None, y, y, tab, spmd=spmd)), 1e-30
+        )
 
     x = jax.lax.fori_loop(
         0,
         iters,
         body,
-        x / jnp.maximum(jnp.sqrt(st.owner_dot(None, x, x, tab)), 1e-30),
+        x / jnp.maximum(jnp.sqrt(st.owner_dot(None, x, x, tab, spmd=spmd)), 1e-30),
     )
-    y = inv_diag * _apply(ps, tab, W, x)
-    return st.owner_dot(None, x, y, tab) / st.owner_dot(None, x, x, tab) * 1.1
+    y = inv_diag * _apply(ps, tab, W, x, spmd)
+    return (
+        st.owner_dot(None, x, y, tab, spmd=spmd)
+        / st.owner_dot(None, x, x, tab, spmd=spmd)
+        * 1.1
+    )
 
 
 def make_level_tables(ps: PatchSet, dtype=jnp.float32):
@@ -86,20 +110,21 @@ def make_level_tables(ps: PatchSet, dtype=jnp.float32):
     return [st.make_tables(lvl, dtype) for lvl in ps.levels]
 
 
-def assemble_patch_mg(
+def assemble_patch_mg_p(
     ps: PatchSet,
     struct: PatchMGStructure,
-    coords_global: jnp.ndarray,  # (V, d) current fine-mesh coordinates
+    coords_p: jnp.ndarray,  # (d, *latf, P[_local]) fine lattice coordinates
     corner_mat_fn: Callable,  # corners (d, nl, ...) -> (C,C,nl,nl,...)
     base_dense_fn: Callable,  # coords0 (V0, d) -> dense inverse (C*V0, C*V0)
-    tabs: list | None = None,
+    tabs: list,
 ) -> PatchMGData:
-    """Assemble all levels from current geometry (rap=true analogue:
-    rediscretized coarse operators from the nested lattice coordinates)."""
-    fine = ps.fine
-    if tabs is None:
-        tabs = make_level_tables(ps, coords_global.dtype)
-    coords_p = st.to_patch(fine, coords_global.T)  # (d, *latf, P)
+    """Assemble all levels from patch-layout geometry (rap=true analogue:
+    rediscretized coarse operators from the nested lattice coordinates).
+    Runs unchanged inside shard_map when struct.spmd is set: assembly is
+    patch-local, the diagonal exchange/lmax use the halo primitives, and
+    the base operator is built from the psum-gathered level-0 coordinates
+    (V0 is small: the coarse .ugx / geomgen mesh)."""
+    spmd = struct.spmd
     W_l, invd_l, lmax_l = [], [], []
     for l, lvl in enumerate(ps.levels):
         stride = 2 ** (ps.k - l)
@@ -109,19 +134,38 @@ def assemble_patch_mg(
         cp = coords_p[sl]
         W = st.assemble_w(ps, l, cp, corner_mat_fn)
         W = st.bake_dirichlet_w(ps, l, W, free=tabs[l].free.astype(W.dtype))
-        diag = st.exchange_sum(None, st.stencil_diag(ps, l, W), tabs[l])
+        diag = st.exchange_sum(None, st.stencil_diag(ps, l, W), tabs[l], spmd=spmd)
         free = tabs[l].free.astype(W.dtype)
         diag = jnp.where(free[None] > 0, diag, 1.0)
         inv_diag = 1.0 / diag
         W_l.append(W)
         invd_l.append(inv_diag)
-        lmax_l.append(estimate_lmax_p(ps, tabs[l], W, inv_diag))
+        lmax_l.append(estimate_lmax_p(ps, tabs[l], W, inv_diag, spmd=spmd))
     V0 = int(ps.levels[0].gid.max()) + 1
-    base_inv = base_dense_fn(coords_global[:V0])
+    sl0 = (slice(None),) + tuple(
+        slice(0, None, 2**ps.k) for _ in range(ps.dim)
+    )
+    coords0 = st.from_patch_tab(tabs[0], coords_p[sl0], V0, spmd=spmd)  # (d, V0)
+    base_inv = base_dense_fn(coords0.T)
     return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs)
 
 
-def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower):
+def assemble_patch_mg(
+    ps: PatchSet,
+    struct: PatchMGStructure,
+    coords_global: jnp.ndarray,  # (V, d) current fine-mesh coordinates
+    corner_mat_fn: Callable,
+    base_dense_fn: Callable,
+    tabs: list | None = None,
+) -> PatchMGData:
+    """Single-device wrapper: global coords -> patch layout -> assemble."""
+    if tabs is None:
+        tabs = make_level_tables(ps, coords_global.dtype)
+    coords_p = st.to_patch(ps.fine, coords_global.T)  # (d, *latf, P)
+    return assemble_patch_mg_p(ps, struct, coords_p, corner_mat_fn, base_dense_fn, tabs)
+
+
+def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=None):
     """Chebyshev iteration (see solvers.mg.chebyshev_smooth) on patch arrays;
     x, b consistent."""
     lmin = lower * lmax
@@ -129,7 +173,7 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower):
     delta = 0.5 * (lmax - lmin)
     free = tab.free[None].astype(x.dtype)
 
-    r = (b - _apply(ps, tab, W, x)) * free
+    r = (b - _apply(ps, tab, W, x, spmd)) * free
     z = inv_diag * r
     d_vec = z / theta
     x = x + d_vec
@@ -137,7 +181,7 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower):
 
     def body(i, carry):
         x, d_vec, sigma_old = carry
-        r = (b - _apply(ps, tab, W, x)) * free
+        r = (b - _apply(ps, tab, W, x, spmd)) * free
         z = inv_diag * r
         sigma_new = 1.0 / (2.0 * theta / delta - sigma_old)
         d_vec = (2.0 * sigma_new / delta) * z + (sigma_new * sigma_old) * d_vec
@@ -153,20 +197,24 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
     ps = struct.ps
     L = ps.k
 
+    spmd = struct.spmd
+
     def solve_level(l, b_l, x_l):
         lvl = ps.levels[l]
         tab = data.tabs[l]
         if l == 0:
             # gathered dense base solve (SuperLU analogue): consistent
-            # residual -> owner-picked global -> dense inverse -> patch
+            # residual -> owner-picked global (psum-gathered under spmd,
+            # the reference's gatheredBaseSolverIfAmbiguous) -> dense
+            # inverse -> patch
             C = b_l.shape[0]
             V0 = data.base_inv.shape[0] // C
-            bg = st.from_patch(lvl, b_l, V0, mode="owner")  # (C, V0)
+            bg = st.from_patch_tab(tab, b_l, V0, mode="owner", spmd=spmd)
             xg = (data.base_inv @ bg.reshape(-1)).reshape(C, V0)
-            return st.to_patch(lvl, xg)
+            return st.to_patch_tab(tab, xg)
         x_l = chebyshev_smooth_p(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.pre_smooth, struct.cheb_lower,
+            x_l, b_l, struct.pre_smooth, struct.cheb_lower, spmd,
         )
         # restriction acts on the ADDITIVE residual (UG4 storage-type rule:
         # defects are additive, 2d_admm.lua:958): owner-weighted b minus the
@@ -176,12 +224,14 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
         r_add = b_l * owner[None] - st.apply_w(ps, data.W[l], x_l)
         rc = st.restrict_p(ps, l - 1, r_add)
         tab_c = data.tabs[l - 1]
-        rc = st.exchange_sum(None, rc, tab_c) * tab_c.free[None].astype(rc.dtype)
+        rc = st.exchange_sum(None, rc, tab_c, spmd=spmd) * tab_c.free[None].astype(
+            rc.dtype
+        )
         ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
         x_l = x_l + st.prolong_p(ps, l - 1, ec) * tab.free[None].astype(x_l.dtype)
         x_l = chebyshev_smooth_p(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.post_smooth, struct.cheb_lower,
+            x_l, b_l, struct.post_smooth, struct.cheb_lower, spmd,
         )
         return x_l
 
@@ -212,9 +262,9 @@ def cg_p(
 
     ps = struct.ps
     tab = data.tabs[ps.k]
-    A = lambda x: _apply(ps, tab, data.W[ps.k], x)
+    A = lambda x: _apply(ps, tab, data.W[ps.k], x, struct.spmd)
     M = make_preconditioner_p(struct, data)
-    dot = lambda x, y: st.owner_dot(None, x, y, tab)
+    dot = lambda x, y: st.owner_dot(None, x, y, tab, spmd=struct.spmd)
     return krylov.cg(
         A, b, x0=x0, M=M, max_iters=max_iters, abs_tol=abs_tol, rel_tol=rel_tol,
         dot=dot,

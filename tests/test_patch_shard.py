@@ -1,0 +1,146 @@
+"""Sharded (halo-exchange) patch multigrid == single-device patch multigrid.
+
+SURVEY.md section 4: multi-device behavior is validated on the 8-virtual-
+CPU-device mesh (conftest), the TPU analogue of testing MPI domain
+decomposition without a cluster.  Every test compares the shard_map spmd
+path bit-for-bit-to-roundoff against the single-device patch backend on the
+SAME padded patch set, so any halo/psum bug shows up as a numeric diff.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from admm_optim_tpu.core import geomgen
+from admm_optim_tpu.core.mesh import Hierarchy, refine
+from admm_optim_tpu.core.patches import build_patchset, pad_patchset
+from admm_optim_tpu.ops import patchstencil as st
+from admm_optim_tpu.ops.deformation import deformation_corner_mats, deformation_elem_mats
+from admm_optim_tpu.ops import sparsity
+from admm_optim_tpu.ops.p1space import P1VectorSpace
+from admm_optim_tpu.parallel.patch_shard import build_sharded_mg
+from admm_optim_tpu.solvers import patch_mg as pmg
+
+
+N_DEV = 8
+
+
+def _mesh():
+    return Mesh(np.asarray(jax.devices()[:N_DEV]), ("space",))
+
+
+def _hier(dim, refs):
+    if dim == 2:
+        lvl0 = geomgen.channel_2d(n_side=(3, 2), diag="fixed")  # P=34 -> pad 40
+    else:
+        lvl0 = geomgen.channel_3d(n_side=(2, 1, 1))  # P=44 -> pad 48
+    levels = [lvl0]
+    for _ in range(refs):
+        levels.append(refine(levels[-1]))
+    return Hierarchy(levels)
+
+
+def _rand_additive(ps, key, dtype=jnp.float64):
+    lvl = ps.fine
+    shape = (ps.dim,) + lvl.lat_shape + (lvl.P,)
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_sharded_exchange_matches(dim, refs):
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    sh = build_sharded_mg(ps, _mesh())
+    ps_pad = sh.ps
+    assert ps_pad.P % N_DEV == 0 and ps_pad.P > ps.P  # padding exercised
+
+    x = _rand_additive(ps_pad, jax.random.PRNGKey(0))
+    tab = st.make_tables(ps_pad.fine, x.dtype)
+    ref = st.exchange_sum(None, x, tab)
+
+    fs = sh.field_spec()
+    f = jax.jit(
+        jax.shard_map(
+            lambda t, v: st.exchange_sum(None, v, t, spmd=sh.spmd),
+            mesh=sh.mesh,
+            in_specs=(sh.table_specs(ps_pad.k), fs),
+            out_specs=fs,
+            check_vma=False,
+        )
+    )
+    got = f(sh.make_tables(x.dtype)[ps_pad.k], sh.to_patch_sharded_raw(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_sharded_mg_solve_matches(dim, refs):
+    hier = _hier(dim, refs)
+    ps_raw = build_patchset(hier)
+    sh = build_sharded_mg(ps_raw, _mesh())
+    ps = sh.ps
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords)
+
+    # single-device reference on the SAME padded patch set
+    struct1 = pmg.PatchMGStructure(ps)
+    tabs1 = pmg.make_level_tables(ps, coords.dtype)
+
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = np.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), 1.0, 1.0, 1.0
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    corner_fn = lambda c: deformation_corner_mats(c, 1.0, 1.0, 1.0)
+    data1 = pmg.assemble_patch_mg(ps, struct1, coords, corner_fn, base_dense_fn, tabs1)
+
+    # sharded assembly
+    coords_p = sh.to_patch_sharded(coords.T)
+    tabs_sh = sh.make_tables(coords.dtype)
+    data_sh = jax.jit(sh.assemble_fn(corner_fn, base_dense_fn))(coords_p, tabs_sh)
+
+    for l in range(len(ps.levels)):
+        np.testing.assert_allclose(
+            np.asarray(data_sh.W[l]), np.asarray(data1.W[l]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(data_sh.inv_diag[l]), np.asarray(data1.inv_diag[l]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            float(data_sh.lmax[l]), float(data1.lmax[l]), rtol=1e-10
+        )
+    np.testing.assert_allclose(
+        np.asarray(data_sh.base_inv), np.asarray(data1.base_inv), atol=1e-10
+    )
+
+    # solve: same rhs, same tolerances -> same iterates
+    rng = np.random.default_rng(1)
+    b_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices)), coords.dtype)
+    b_g = b_g * space.free_mask().astype(coords.dtype)
+    b_p = st.to_patch(ps.fine, b_g)
+
+    res1 = pmg.cg_p(struct1, data1, b_p, max_iters=40, rel_tol=1e-10)
+    res_sh = jax.jit(sh.solve_fn(max_iters=40, rel_tol=1e-10))(
+        data_sh, sh.to_patch_sharded_raw(b_p)
+    )
+    assert int(res_sh.iters) == int(res1.iters)
+    assert bool(res_sh.converged)
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res1.x), atol=1e-9
+    )
+
+    # the solution actually solves the global system
+    A = lambda x: st.exchange_sum(
+        None, st.apply_w(ps, data1.W[ps.k], x), tabs1[ps.k]
+    ) * tabs1[ps.k].free[None].astype(x.dtype)
+    r = b_p - A(jnp.asarray(res_sh.x))
+    rn = float(jnp.sqrt(st.owner_dot(ps.fine, r, r)))
+    bn = float(jnp.sqrt(st.owner_dot(ps.fine, b_p, b_p)))
+    assert rn / bn < 1e-9
