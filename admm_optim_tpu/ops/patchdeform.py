@@ -78,19 +78,29 @@ def tensor_rhs_p(ps: PatchSet, coords_p, M):
     return r
 
 
-def volume_defect_p(ps: PatchSet, coords_p, u_p, ref_volume):
+def _vmask(vol, pvalid):
+    """Mask cell volumes by patch validity (padded dummy patches carry
+    copies of patch 0's geometry and must not contribute to reductions;
+    core.patches.pad_patchset).  pvalid (P_local,) broadcasts on the
+    trailing patch axis."""
+    return vol if pvalid is None else vol * pvalid
+
+
+def volume_defect_p(ps: PatchSet, coords_p, u_p, ref_volume, pvalid=None):
     """g_vol(u) = int det(I + grad u) dx - V_ref (exact; cells partitioned)."""
     G, vol = cell_grads(ps, coords_p, u_p)
+    vol = _vmask(vol, pvalid)
     d = ps.dim
     eye = jnp.eye(d, dtype=coords_p.dtype).reshape((d, d) + (1,) * (G.ndim - 2))
     det = sdet(eye + G)
     return jnp.sum(vol * det) - ref_volume
 
 
-def barycenter_p(ps: PatchSet, coords_p, u_p):
+def barycenter_p(ps: PatchSet, coords_p, u_p, pvalid=None):
     """b_i(u) = int (x_i + u_i) det(I + grad u) dx (unnormalized, (d,))."""
     m = coords_p.shape[1] - 1
     G, vol = cell_grads(ps, coords_p, u_p)
+    vol = _vmask(vol, pvalid)
     d = ps.dim
     eye = jnp.eye(d, dtype=coords_p.dtype).reshape((d, d) + (1,) * (G.ndim - 2))
     det = sdet(eye + G)
@@ -99,28 +109,36 @@ def barycenter_p(ps: PatchSet, coords_p, u_p):
     return jnp.einsum("...,c...->c", vol * det, centroid)
 
 
-def constraints_p(ps: PatchSet, coords_p, u_p, ref_volume, ref_barycenter):
-    """g(u) in R^m, m = 1 + d (volume + barycenter defects)."""
+def constraints_p(ps: PatchSet, coords_p, u_p, ref_volume, ref_barycenter,
+                  pvalid=None):
+    """g(u) in R^m, m = 1 + d (volume + barycenter defects).  Under patch
+    sharding this returns the LOCAL partial sums (psum at the caller)."""
     return jnp.concatenate(
         [
-            volume_defect_p(ps, coords_p, u_p, ref_volume)[None],
-            barycenter_p(ps, coords_p, u_p) - ref_barycenter,
+            volume_defect_p(ps, coords_p, u_p, ref_volume, pvalid)[None],
+            barycenter_p(ps, coords_p, u_p, pvalid) - ref_barycenter,
         ]
     )
 
 
-def constraint_grads_p(ps, coords_p, u_p, ref_volume, ref_barycenter):
-    """ADDITIVE B (m, C, *lat, P) = dg/du (exchange+mask at the caller)."""
+def constraint_grads_p(ps, coords_p, u_p, ref_volume, ref_barycenter,
+                       pvalid=None):
+    """ADDITIVE B (m, C, *lat, P) = dg/du (exchange+mask at the caller).
+    Correct under sharding as-is: d(local partial sum)/d(local u) is exactly
+    this shard's additive contribution."""
     return jax.jacrev(
-        lambda uu: constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter)
+        lambda uu: constraints_p(
+            ps, coords_p, uu, ref_volume, ref_barycenter, pvalid
+        )
     )(u_p)
 
 
-def constraint_hvp_p(ps, coords_p, u_p, Lmbda, ref_volume, ref_barycenter, x_p):
+def constraint_hvp_p(ps, coords_p, u_p, Lmbda, ref_volume, ref_barycenter, x_p,
+                     pvalid=None):
     """ADDITIVE (sum_i Lambda_i d2g_i/du2) @ x."""
 
     def lag(uu):
-        g = constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter)
+        g = constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter, pvalid)
         return jnp.vdot(Lmbda, g)
 
     return jax.jvp(jax.grad(lag), (u_p,), (x_p,))[1]
@@ -146,13 +164,18 @@ def dual_update_p(ps, coords_p, u_p, lam, q_proj, tau):
     return lam + inc, inc
 
 
-def max_frobenius_norm_p(ps, coords_p, u_p):
+def max_frobenius_norm_p(ps, coords_p, u_p, pvalid=None):
     G, _ = cell_grads(ps, coords_p, u_p)
-    return jnp.max(jnp.sqrt(jnp.sum(G * G, axis=(0, 1))))
+    n2 = jnp.sum(G * G, axis=(0, 1))
+    if pvalid is not None:
+        n2 = n2 * pvalid
+    return jnp.max(jnp.sqrt(n2))
 
 
-def max_spectral_norm_p(ps, coords_p, u_p):
+def max_spectral_norm_p(ps, coords_p, u_p, pvalid=None):
     G, _ = cell_grads(ps, coords_p, u_p)
+    if pvalid is not None:
+        G = G * pvalid
     if ps.dim == 2:
         _, _, _, _, e1, e2 = _svals_2x2(G)
         return jnp.max(e1 + e2)
@@ -162,10 +185,11 @@ def max_spectral_norm_p(ps, coords_p, u_p):
     return jnp.max(s[:, 0])
 
 
-def l2_norm_p1_p(ps, coords_p, f_p):
+def l2_norm_p1_p(ps, coords_p, f_p, pvalid=None):
     """sqrt(int |f|^2) for a consistent P1 patch field f (C, *lat, P)."""
     m = coords_p.shape[1] - 1
     _, vol = cell_geometry(ps, coords_p)
+    vol = _vmask(vol, pvalid)
     fc = class_corners(ps, f_p, m)  # (C, nl, T, *cells, P)
     nl = ps.dim + 1
     mfac = ((jnp.ones((nl, nl)) + jnp.eye(nl)) / ((ps.dim + 1) * (ps.dim + 2))).astype(
@@ -175,7 +199,8 @@ def l2_norm_p1_p(ps, coords_p, f_p):
     return jnp.sqrt(jnp.maximum(val, 0.0))
 
 
-def l2_norm_pc_p(ps, coords_p, T):
+def l2_norm_pc_p(ps, coords_p, T, pvalid=None):
     """sqrt(int |T|^2) for a per-cell tensor field (d, d, T, *cells, P)."""
     _, vol = cell_geometry(ps, coords_p)
+    vol = _vmask(vol, pvalid)
     return jnp.sqrt(jnp.maximum(jnp.einsum("...,cd...,cd...->", vol, T, T), 0.0))

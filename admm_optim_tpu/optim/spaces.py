@@ -103,15 +103,26 @@ class GlobalOps:
 
 @dataclasses.dataclass
 class PatchOps:
-    """Operator bundle on the brick-patch representation (TPU fast path)."""
+    """Operator bundle on the brick-patch representation (TPU fast path).
 
-    struct: Any  # pmg.PatchMGStructure
+    With struct.spmd set (and pvalid = the local patch-validity slice on a
+    padded set) the SAME adapter runs inside shard_map with the patch axis
+    sharded: exchanges become halo all-gathers, reductions psum, max-norms
+    pmax - so optim.admm's Newton/ADMM loops run spatially SPMD unchanged
+    (parallel.patch_shard builds this wiring)."""
+
+    struct: Any  # pmg.PatchMGStructure (carries spmd ctx if sharded)
     data: Any  # pmg.PatchMGData (carries per-level tables)
-    coords_p: jnp.ndarray  # (d, *lat, P)
+    coords_p: jnp.ndarray  # (d, *lat, P[_local])
+    pvalid: jnp.ndarray | None = None  # (P_local,) 0 at padded dummy patches
 
     @property
     def ps(self):
         return self.struct.ps
+
+    @property
+    def spmd(self):
+        return self.struct.spmd
 
     @property
     def dim(self):
@@ -125,43 +136,67 @@ class PatchOps:
     def free(self):
         return self.tab.free.astype(self.coords_p.dtype)  # (*lat, P); bcasts
 
+    def _psum(self, v):
+        return v if self.spmd is None else jax.lax.psum(v, self.spmd.axis)
+
+    def _pmax(self, v):
+        return v if self.spmd is None else jax.lax.pmax(v, self.spmd.axis)
+
+    @property
+    def _P_local(self):
+        return self.coords_p.shape[-1]
+
     def zeros_field(self, dtype):
         lvl = self.ps.fine
-        return jnp.zeros((self.dim,) + lvl.lat_shape + (lvl.P,), dtype)
+        return jnp.zeros((self.dim,) + lvl.lat_shape + (self._P_local,), dtype)
 
     def zeros_tensor(self, dtype):
         d = self.dim
         T = len(self.ps.class_offsets)
         m = self.ps.fine.m
-        return jnp.zeros((d, d, T) + (m,) * d + (self.ps.fine.P,), dtype)
+        return jnp.zeros((d, d, T) + (m,) * d + (self._P_local,), dtype)
 
     def A(self, x):
-        y = pst.exchange_sum(None, pst.apply_w(self.ps, self.data.W[self.ps.k], x), self.tab)
+        y = pst.exchange_sum(
+            None, pst.apply_w(self.ps, self.data.W[self.ps.k], x), self.tab,
+            spmd=self.spmd,
+        )
         return y * self.free
 
     def M(self, r):
         return pmg.vcycle_p(self.struct, self.data, r)
 
     def dot(self, x, y):
-        return pst.owner_dot(None, x, y, self.tab)
+        return pst.owner_dot(None, x, y, self.tab, spmd=self.spmd)
 
     def _cons(self, x_add):
         """additive -> consistent + free mask."""
-        return pst.exchange_sum(None, x_add, self.tab) * self.free
+        return pst.exchange_sum(None, x_add, self.tab, spmd=self.spmd) * self.free
 
     def constraints(self, u, ref_volume, ref_barycenter):
-        return pdfm.constraints_p(self.ps, self.coords_p, u, ref_volume, ref_barycenter)
+        dt = self.coords_p.dtype
+        g = pdfm.constraints_p(
+            self.ps, self.coords_p, u,
+            jnp.zeros((), dt), jnp.zeros((self.dim,), dt),
+            pvalid=self.pvalid,
+        )
+        # references subtracted AFTER the psum (local values are partial sums)
+        refs = jnp.concatenate(
+            [jnp.asarray(ref_volume, dt)[None], jnp.asarray(ref_barycenter, dt)]
+        )
+        return self._psum(g) - refs
 
     def constraint_grads(self, u, ref_volume, ref_barycenter):
         B = pdfm.constraint_grads_p(
-            self.ps, self.coords_p, u, ref_volume, ref_barycenter
+            self.ps, self.coords_p, u, ref_volume, ref_barycenter,
+            pvalid=self.pvalid,
         )
         return jax.vmap(self._cons)(B)
 
     def constraint_hvp(self, u, Lmbda, ref_volume, ref_barycenter, x):
         h = pdfm.constraint_hvp_p(
             self.ps, self.coords_p, u, Lmbda, ref_volume, ref_barycenter,
-            x * self.free,
+            x * self.free, pvalid=self.pvalid,
         )
         return self._cons(h)
 
@@ -176,11 +211,15 @@ class PatchOps:
 
     def max_grad_norm(self, u, norm_name):
         if norm_name == "spectral":
-            return pdfm.max_spectral_norm_p(self.ps, self.coords_p, u)
-        return pdfm.max_frobenius_norm_p(self.ps, self.coords_p, u)
+            v = pdfm.max_spectral_norm_p(self.ps, self.coords_p, u, self.pvalid)
+        else:
+            v = pdfm.max_frobenius_norm_p(self.ps, self.coords_p, u, self.pvalid)
+        return self._pmax(v)
 
     def norm_p1(self, f):
-        return pdfm.l2_norm_p1_p(self.ps, self.coords_p, f)
+        v = pdfm.l2_norm_p1_p(self.ps, self.coords_p, f, self.pvalid)
+        return jnp.sqrt(self._psum(v * v))
 
     def norm_pc(self, T):
-        return pdfm.l2_norm_pc_p(self.ps, self.coords_p, T)
+        v = pdfm.l2_norm_pc_p(self.ps, self.coords_p, T, self.pvalid)
+        return jnp.sqrt(self._psum(v * v))

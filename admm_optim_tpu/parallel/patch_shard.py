@@ -54,6 +54,7 @@ class ShardedPatchMG:
     struct: pmg.PatchMGStructure  # carries spmd ctx
     mesh: Mesh
     axis: str
+    P_orig: int = 0  # pre-padding patch count (pvalid boundary)
 
     @property
     def spmd(self) -> st.SpmdCtx:
@@ -199,6 +200,111 @@ class ShardedPatchMG:
             out_specs=fs, check_vma=False,
         )
 
+    # ---- full ADMM step (optim.admm) over the sharded representation --------
+
+    def tensor_spec(self) -> P:
+        """(d, d, T, *cells, P) per-cell tensor fields."""
+        return P(*([None] * (3 + self.ps.dim) + [self.axis]))
+
+    def pvalid(self, P_orig: int | None = None, dtype=jnp.float32):
+        """Patch-validity mask (1 on real patches, 0 on padding), sharded."""
+        P_orig = self.P_orig if P_orig is None else P_orig
+        v = (np.arange(self.ps.P) < P_orig).astype(np.float32)
+        return jax.device_put(
+            jnp.asarray(v, dtype), NamedSharding(self.mesh, P(self.axis))
+        )
+
+    def pad_field(self, x_patch):
+        """Pad the trailing patch axis of an unpadded patch array with
+        zeros to the sharded P, then place it on the mesh."""
+        pad = self.ps.P - x_patch.shape[-1]
+        if pad:
+            x_patch = jnp.concatenate(
+                [
+                    jnp.asarray(x_patch),
+                    jnp.zeros(x_patch.shape[:-1] + (pad,), x_patch.dtype),
+                ],
+                axis=-1,
+            )
+        return self.to_patch_sharded_raw(x_patch)
+
+    def make_ops(self, data, coords_p, pvalid):
+        """PatchOps adapter bound to this sharding (use inside shard_map)."""
+        from ..optim.spaces import PatchOps
+
+        return PatchOps(self.struct, data, coords_p, pvalid=pvalid)
+
+    def admm_state_specs(self, admm_cfg):
+        from ..optim import admm as admm_mod
+
+        fs = self.field_spec()
+        ts = self.tensor_spec()
+        rep = P()
+        return admm_mod.ADMMState(
+            u=fs, u_old=fs, lam=ts, q_proj=ts, Lambda=rep, scaling=rep,
+            admm_it=rep, total_newton=rep, total_lin_iters=rep,
+            converged=rep, failed=rep, u_diff_norm=rep, lam_inc_norm=rep,
+            max_grad_norm=rep, stats=rep,
+        )
+
+    def admm_inner_fn(self, cfg):
+        """jit-able sharded ADMM inner loop: the reference's 4-deep loop
+        nest (2d_admm.lua:868-1253) running spatially SPMD - one shard_map
+        region containing the z-prox, the constrained-Newton x-updates with
+        all their MG-preconditioned Krylov solves, and the dual ascent."""
+        from ..optim import admm as admm_mod
+
+        fs = self.field_spec()
+
+        def run(data, coords_p, pvalid, Jp, sigma, scaling, ref_vol, ref_bary):
+            ops_ = self.make_ops(data, coords_p, pvalid)
+            return admm_mod.admm_inner_ops(
+                cfg, ops_, Jp, sigma, scaling, ref_vol, ref_bary
+            )
+
+        return jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(
+                self.data_specs(), fs, P(self.axis), fs, P(), P(), P(), P(),
+            ),
+            out_specs=self.admm_state_specs(cfg),
+            check_vma=False,
+        )
+
+    def admm_inner_batched_fn(self, cfg, batch_axis: str = "batch"):
+        """dp x spatial-SPMD: a batch of problem instances (sigma schedules /
+        shape gradients - the design-sweep axis, BASELINE.md "vmap 64
+        geometries") vmapped INSIDE the spatially sharded region, jitted over
+        a (batch, space) mesh.  Jp (B, C, *lat, P) and sigmas (B,) are
+        sharded over batch; geometry/operators are shared across the batch."""
+        from ..optim import admm as admm_mod
+
+        fs = self.field_spec()
+
+        def run(data, coords_p, pvalid, JpB, sigmas, scaling, ref_vol, ref_bary):
+            ops_ = self.make_ops(data, coords_p, pvalid)
+            return jax.vmap(
+                lambda Jp, sig: admm_mod.admm_inner_ops(
+                    cfg, ops_, Jp, sig, scaling, ref_vol, ref_bary
+                )
+            )(JpB, sigmas)
+
+        bat = lambda spec: P(batch_axis, *spec)
+        return jax.shard_map(
+            run,
+            mesh=self.mesh,
+            in_specs=(
+                self.data_specs(), fs, P(self.axis), bat(fs), P(batch_axis),
+                P(), P(), P(),
+            ),
+            out_specs=jax.tree_util.tree_map(
+                bat, self.admm_state_specs(cfg),
+                is_leaf=lambda x: isinstance(x, P),
+            ),
+            check_vma=False,
+        )
+
 
 def build_sharded_mg(
     ps: PatchSet,
@@ -218,4 +324,6 @@ def build_sharded_mg(
         cheb_lower=cheb_lower,
         spmd=st.SpmdCtx(axis=axis, nshards=n),
     )
-    return ShardedPatchMG(ps=ps_pad, struct=struct, mesh=mesh, axis=axis)
+    return ShardedPatchMG(
+        ps=ps_pad, struct=struct, mesh=mesh, axis=axis, P_orig=ps.P
+    )

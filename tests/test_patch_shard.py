@@ -144,3 +144,92 @@ def test_sharded_mg_solve_matches(dim, refs):
     rn = float(jnp.sqrt(st.owner_dot(ps.fine, r, r)))
     bn = float(jnp.sqrt(st.owner_dot(ps.fine, b_p, b_p)))
     assert rn / bn < 1e-9
+
+
+def test_sharded_admm_matches_single_device():
+    """The FULL ADMM inner loop (z-prox + constrained Newton + dual ascent)
+    under shard_map == the single-device patch path, iterate for iterate."""
+    from admm_optim_tpu.optim import admm
+    from admm_optim_tpu.optim.spaces import PatchOps
+    from admm_optim_tpu.ops import deformation as dfm
+    from admm_optim_tpu.ops.geometry import elem_geometry
+
+    dim, refs = 2, 2
+    hier = _hier(dim, refs)
+    ps_raw = build_patchset(hier)
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords)
+    elems = jnp.asarray(fine.elems)
+    cfg = admm.ADMMConfig(
+        admm_steps=4, ns_max_its=5, lin_max_iters=60, tau=2.0,
+        admm_tolerance=1e-2,
+    )
+
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = jnp.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), cfg.c_eps, cfg.tau,
+            cfg.c_mass,
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, fixed0)
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    corner_fn = lambda c: deformation_corner_mats(c, cfg.c_eps, cfg.tau, cfg.c_mass)
+
+    # problem data
+    obs = jnp.asarray(fine.subset_vertices["obstacle_surface"]).astype(coords.dtype)
+    Jp_g = (
+        -coords / jnp.maximum(jnp.linalg.norm(coords, axis=1, keepdims=True), 0.3)
+        * obs[:, None] * 0.05
+    ).T * space.free_mask().astype(coords.dtype)
+    _, _, _, vol = elem_geometry(coords, elems)
+    ref_vol = jnp.sum(vol)
+    ref_bary = dfm.barycenter(coords, elems, jnp.zeros_like(coords.T))
+    sigma = jnp.asarray(0.3)
+    scaling = jnp.asarray(1.0)
+
+    # single-device patch reference (UNPADDED patch set)
+    struct1 = pmg.PatchMGStructure(ps_raw)
+    tabs1 = pmg.make_level_tables(ps_raw, coords.dtype)
+    data1 = pmg.assemble_patch_mg(ps_raw, struct1, coords, corner_fn,
+                                  base_dense_fn, tabs1)
+    pops = PatchOps(struct1, data1, st.to_patch(ps_raw.fine, coords.T))
+    st_ref = admm.admm_inner_ops(
+        cfg, pops, st.to_patch(ps_raw.fine, Jp_g), sigma, scaling,
+        ref_vol, ref_bary,
+    )
+
+    # sharded run (PADDED)
+    sh = build_sharded_mg(ps_raw, _mesh())
+    coords_p = sh.to_patch_sharded(coords.T)
+    tabs_sh = sh.make_tables(coords.dtype)
+    data_sh = jax.jit(sh.assemble_fn(corner_fn, base_dense_fn))(coords_p, tabs_sh)
+    st_sh = jax.jit(sh.admm_inner_fn(cfg))(
+        data_sh, coords_p, sh.pvalid(dtype=coords.dtype),
+        sh.to_patch_sharded(Jp_g), sigma, scaling, ref_vol, ref_bary,
+    )
+
+    assert bool(st_sh.converged) == bool(st_ref.converged)
+    assert bool(st_sh.failed) == bool(st_ref.failed)
+    assert int(st_sh.admm_it) == int(st_ref.admm_it)
+    assert int(st_sh.total_newton) == int(st_ref.total_newton)
+    np.testing.assert_allclose(
+        np.asarray(st_sh.Lambda), np.asarray(st_ref.Lambda), rtol=1e-6, atol=1e-9
+    )
+    u_sh = st.from_patch(sh.ps.fine, jnp.asarray(st_sh.u), fine.num_vertices,
+                         mode="owner")
+    u_rf = st.from_patch(ps_raw.fine, st_ref.u, fine.num_vertices, mode="owner")
+    err = float(
+        jnp.linalg.norm(u_sh - u_rf) / jnp.maximum(jnp.linalg.norm(u_rf), 1e-30)
+    )
+    assert err < 1e-6
+    np.testing.assert_allclose(
+        float(st_sh.u_diff_norm), float(st_ref.u_diff_norm), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(st_sh.max_grad_norm), float(st_ref.max_grad_norm), rtol=1e-6
+    )
