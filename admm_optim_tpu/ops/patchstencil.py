@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.patches import PatchLevel, PatchSet
+from . import df
 
 
 # ---------------------------------------------------------------------------
@@ -126,11 +127,17 @@ def apply_w(ps: PatchSet, W, x):
 
     One zero-pad of x turns every stencil offset into a FULL-shape slice, so
     the sum of O=7/15 terms fuses into a single pass over W (no partial-
-    region updates, which XLA materializes)."""
+    region updates, which XLA materializes).  The per-slot einsum runs on
+    the FLATTENED trailing dims: W's (*lat, P) tail is contiguous, so the
+    reshape is free, and the flat minor dim tiles onto (8, 128) vector
+    registers without the ~2x padding waste of a (lat=2^k+1, P) minor pair
+    (measured on v5e at refs=3: 1.5 -> 0.57 ms per 367k-DoF apply)."""
     dim = ps.dim
     lat = x.shape[1 : 1 + dim]
+    C = x.shape[0]
     pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
     xp = jnp.pad(x, pad)
+    Wf = W.reshape(W.shape[:3] + (-1,))  # free: trailing dims contiguous
     y = None
     for oi in range(len(ps.stencil)):
         o = ps.stencil[oi]
@@ -139,9 +146,46 @@ def apply_w(ps: PatchSet, W, x):
             + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
             + (slice(None),)
         )
-        t = jnp.einsum("cd...,d...->c...", W[:, :, oi], xp[sl])
+        t = jnp.einsum("cds,ds->cs", Wf[:, :, oi], xp[sl].reshape(C, -1))
         y = t if y is None else y + t
-    return y
+    return y.reshape(x.shape)
+
+
+def apply_w_df(ps: PatchSet, W, xh, xl):
+    """Double-float operator application: y = A (xh + xl) with error-free
+    products (ops.df) and compensated accumulation across all O*C stencil
+    terms.  Returns an additive DF pair accurate to O(eps^2) - the
+    once-per-refinement residual pass of the mixed-precision solve
+    (solvers.patch_mg.cg_ir_p); the TPU substitute for the reference's f64
+    defect evaluation at 1e-12 tolerances (obstacle_optim_util.lua:35).
+    ~6x the flops of apply_w, but used outside the Krylov hot loop."""
+    dim = ps.dim
+    lat = xh.shape[1 : 1 + dim]
+    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
+    xhp = jnp.pad(xh, pad)
+    xlp = jnp.pad(xl, pad)
+    C = W.shape[0]
+    acc_h = acc_l = None
+    for oi in range(len(ps.stencil)):
+        o = ps.stencil[oi]
+        sl = (
+            (slice(None),)
+            + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
+            + (slice(None),)
+        )
+        xho = xhp[sl]
+        xlo = xlp[sl]
+        for d in range(C):
+            w = W[:, d, oi]  # (C, *lat, P)
+            p, e = df.two_prod(w, xho[d][None])
+            lo = e + w * xlo[d][None]
+            if acc_h is None:
+                acc_h, acc_l = p, lo
+            else:
+                acc_h, t = df.two_sum(acc_h, p)
+                acc_l = acc_l + t + lo
+    s, e = df.fast_two_sum(acc_h, acc_l)
+    return s, e
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +233,10 @@ class LevelTables:
     bslots: jnp.ndarray | None
     bseg: jnp.ndarray | None
     gid: jnp.ndarray | None = None  # (*lat, P) int32 global vertex ids
+    # padded duplicate-group tables for the error-free double-float exchange
+    # (exchange_sum_df): flat slot index / validity mask per (group, member)
+    dfg_idx: jnp.ndarray | None = None  # (nseg, K) int32
+    dfg_mask: jnp.ndarray | None = None  # (nseg, K) float32
     # static
     nseg: int = 0
     corr_nseg: int = 0
@@ -200,6 +248,7 @@ class LevelTables:
             self.owner, self.free, self.face_nbr, self.face_mask,
             self.corr_idx, self.corr_group_oh, self.corr_slab_oh,
             self.corr_keep, self.bslots, self.bseg, self.gid,
+            self.dfg_idx, self.dfg_mask,
         )
         return children, (self.nseg, self.corr_nseg, self.use_slab, self.P_total)
 
@@ -208,8 +257,27 @@ class LevelTables:
         return cls(*children, *aux)
 
 
+def _df_group_tables(lvl: PatchLevel):
+    """(nseg, K) padded duplicate-group slot table for exchange_sum_df."""
+    if lvl.nseg == 0:
+        return None, None
+    order = np.argsort(lvl.bseg, kind="stable")
+    slots_s = lvl.bslots[order]
+    segs_s = lvl.bseg[order]
+    counts = np.bincount(lvl.bseg, minlength=lvl.nseg)
+    K = int(counts.max())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rank = np.arange(len(slots_s)) - starts[segs_s]
+    idx = np.zeros((lvl.nseg, K), np.int64)
+    mask = np.zeros((lvl.nseg, K), np.float32)
+    idx[segs_s, rank] = slots_s
+    mask[segs_s, rank] = 1.0
+    return idx, mask
+
+
 def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
     slab = lvl.use_slab
+    dfg_idx, dfg_mask = _df_group_tables(lvl)
     return LevelTables(
         owner=jnp.asarray(lvl.owner, dtype),
         free=jnp.asarray(lvl.free, dtype),
@@ -236,6 +304,8 @@ def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
         bslots=None if slab else jnp.asarray(lvl.bslots),
         bseg=None if slab else jnp.asarray(lvl.bseg),
         gid=jnp.moveaxis(jnp.asarray(lvl.gid), 0, -1),
+        dfg_idx=None if dfg_idx is None else jnp.asarray(dfg_idx, jnp.int32),
+        dfg_mask=None if dfg_mask is None else jnp.asarray(dfg_mask, dtype),
         nseg=lvl.nseg,
         corr_nseg=lvl.corr_nseg,
         use_slab=slab,
@@ -399,6 +469,54 @@ def _exchange_segsum_spmd(tab: LevelTables, x, spmd: SpmdCtx):
     xp = jnp.pad(xf, ((0, 0), (0, 1)))
     xp = xp.at[:, wf].set(out)
     return xp[:, :-1].reshape(x.shape)
+
+
+def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
+    """additive -> consistent for a double-float pair, ERROR-FREE.
+
+    The slab/segment-sum exchanges round each duplicate add (eps*|y| error),
+    which would cap mixed-precision residuals at ~1e-7; here duplicate
+    groups are gathered into the padded (nseg, K) table and folded with
+    two_sum, so the consistent sum is exact to O(eps^2).  Only used in the
+    residual pass; Krylov/smoother iterations keep the fast f32 exchanges.
+
+    Under ``spmd`` each slot's value lives on exactly one shard; the psum of
+    zero-masked gathers is exact (adding zeros is error-free), after which
+    every shard folds the replicated (C, nseg, K) table identically."""
+    if tab.dfg_idx is None:
+        return xh, xl
+    C = xh.shape[0]
+    xfh = xh.reshape(C, -1)
+    xfl = xl.reshape(C, -1)
+    S_loc = xfh.shape[1]
+    if spmd is None:
+        m = tab.dfg_mask.astype(xh.dtype)
+        vh = xfh[:, tab.dfg_idx] * m
+        vl = xfl[:, tab.dfg_idx] * m
+        wf = jnp.where(tab.dfg_mask > 0, tab.dfg_idx, S_loc)
+    else:
+        Pl = xh.shape[-1]
+        P = tab.P_total
+        off = _shard_offset(tab, Pl, spmd)
+        site = tab.dfg_idx // P
+        pch = tab.dfg_idx % P
+        local = (pch >= off) & (pch < off + Pl)
+        loc_flat = site * Pl + jnp.clip(pch - off, 0, Pl - 1)
+        m = tab.dfg_mask.astype(xh.dtype) * local.astype(xh.dtype)
+        vh = jax.lax.psum(xfh[:, loc_flat] * m, spmd.axis)
+        vl = jax.lax.psum(xfl[:, loc_flat] * m, spmd.axis)
+        wf = jnp.where((tab.dfg_mask > 0) & local, loc_flat, S_loc)
+    K = vh.shape[-1]
+    sh, sl_ = vh[..., 0], vl[..., 0]
+    for j in range(1, K):
+        sh, e = df.two_sum(sh, vh[..., j])
+        sl_ = sl_ + e + vl[..., j]
+    sh, sl_ = df.fast_two_sum(sh, sl_)  # (C, nseg)
+    bh = jnp.broadcast_to(sh[:, :, None], (C,) + wf.shape)
+    bl = jnp.broadcast_to(sl_[:, :, None], (C,) + wf.shape)
+    outh = jnp.pad(xfh, ((0, 0), (0, 1))).at[:, wf].set(bh)[:, :-1]
+    outl = jnp.pad(xfl, ((0, 0), (0, 1))).at[:, wf].set(bl)[:, :-1]
+    return outh.reshape(xh.shape), outl.reshape(xl.shape)
 
 
 def owner_dot(

@@ -97,6 +97,8 @@ class ShardedPatchMG:
             bslots=None if lvl.use_slab else rep,
             bseg=None if lvl.use_slab else rep,
             gid=shard,
+            dfg_idx=rep if lvl.nseg else None,
+            dfg_mask=rep if lvl.nseg else None,
             nseg=lvl.nseg,
             corr_nseg=lvl.corr_nseg,
             use_slab=lvl.use_slab,
@@ -181,6 +183,34 @@ class ShardedPatchMG:
         from ..solvers import krylov
 
         res_spec = krylov.SolveResult(x=fs, iters=P(), res_norm=P(), converged=P())
+        return jax.shard_map(
+            solve,
+            mesh=self.mesh,
+            in_specs=(self.data_specs(), fs),
+            out_specs=res_spec,
+            check_vma=False,
+        )
+
+    def solve_ir_fn(self, rel_tol: float = 1e-8, abs_tol: float = 0.0,
+                    max_rounds: int = 8, inner_rel: float = 1e-4,
+                    inner_iters: int = 40):
+        """jit-able (data, b) -> IRResult: sharded mixed-precision solve to
+        below-f32 residuals (solvers.patch_mg.cg_ir_p) - the exchange of the
+        double-float defect psums exactly (each duplicate slot's value lives
+        on one shard; zero-masked psum is error-free)."""
+        fs = self.field_spec()
+
+        def solve(data, b):
+            return pmg.cg_ir_p(
+                self.struct, data, b, rel_tol=rel_tol, abs_tol=abs_tol,
+                max_rounds=max_rounds, inner_rel=inner_rel,
+                inner_iters=inner_iters,
+            )
+
+        res_spec = pmg.IRResult(
+            x_hi=fs, x_lo=fs, rounds=P(), inner_iters=P(), res_norm=P(),
+            converged=P(),
+        )
         return jax.shard_map(
             solve,
             mesh=self.mesh,

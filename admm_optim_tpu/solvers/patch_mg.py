@@ -17,7 +17,7 @@ compilation cache.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -245,6 +245,84 @@ def make_preconditioner_p(struct: PatchMGStructure, data: PatchMGData):
         return vcycle_p(struct, data, r)
 
     return M
+
+
+def residual_df(struct: PatchMGStructure, data: PatchMGData, b, xh, xl):
+    """r = b - A(xh+xl) as a double-float pair, error-free to O(eps^2):
+    compensated stencil products (ops.patchstencil.apply_w_df) + exact
+    duplicate exchange (exchange_sum_df).  b is plain working precision
+    (exactly representable)."""
+    from ..ops import df
+
+    ps = struct.ps
+    tab = data.tabs[ps.k]
+    yh, yl = st.apply_w_df(ps, data.W[ps.k], xh, xl)
+    yh, yl = st.exchange_sum_df(tab, yh, yl, spmd=struct.spmd)
+    free = tab.free[None].astype(xh.dtype)
+    rh, rl = df.two_sum(b * free, -yh * free)
+    return df.fast_two_sum(rh, rl - yl * free)
+
+
+class IRResult(NamedTuple):
+    x_hi: jnp.ndarray
+    x_lo: jnp.ndarray
+    rounds: jnp.ndarray
+    inner_iters: jnp.ndarray
+    res_norm: jnp.ndarray  # TRUE relative-to-b residual, DF-evaluated
+    converged: jnp.ndarray
+
+
+def cg_ir_p(
+    struct: PatchMGStructure,
+    data: PatchMGData,
+    b,
+    rel_tol: float = 1e-8,
+    abs_tol: float = 0.0,
+    max_rounds: int = 8,
+    inner_rel: float = 1e-4,
+    inner_iters: int = 40,
+) -> IRResult:
+    """Mixed-precision MG solve to below-f32 residuals (the north-star
+    "DoF/s to 1e-8" metric, BASELINE.md): double-float iterative refinement
+    around the f32 MG-preconditioned CG.
+
+    x is carried as an unevaluated (hi, lo) f32 pair (~48 significand bits);
+    each round solves A e = r_hi in plain f32 (all smoothing/Krylov work at
+    full TPU speed), updates x in DF, and re-evaluates the defect with
+    error-free transformations (residual_df).  Plays the role of the
+    reference's f64 BiCGStab at abs 1e-12 (obstacle_optim_util.lua:35-37):
+    same true-residual guarantee, without paying emulated-f64 everywhere.
+
+    Note the target is the residual of the ASSEMBLED (f32-rounded) operator;
+    per-entry assembly rounding is an eps-sized relative perturbation of A,
+    i.e. a backward error at the discretization-coefficient level."""
+    from ..ops import df
+
+    ps = struct.ps
+    tab = data.tabs[ps.k]
+    dot = lambda x, y: st.owner_dot(None, x, y, tab, spmd=struct.spmd)
+    bnorm = jnp.sqrt(dot(b, b))
+    tol = jnp.maximum(abs_tol, rel_tol * bnorm)
+
+    def cond(state):
+        xh, xl, rh, rl, rnorm, rounds, inner = state
+        return (rnorm > tol) & (rounds < max_rounds)
+
+    def body(state):
+        xh, xl, rh, rl, rnorm, rounds, inner = state
+        res = cg_p(
+            struct, data, rh, max_iters=inner_iters,
+            rel_tol=inner_rel, abs_tol=0.0,
+        )
+        xh, xl = df.add(df.DF(xh, xl), df.from_f(res.x))
+        rh2, rl2 = residual_df(struct, data, b, xh, xl)
+        rnorm2 = jnp.sqrt(dot(rh2, rh2))
+        return (xh, xl, rh2, rl2, rnorm2, rounds + 1, inner + res.iters)
+
+    z = jnp.zeros_like(b)
+    init = (z, z, b, z, bnorm, jnp.array(0, jnp.int32), jnp.array(0, jnp.int32))
+    xh, xl, rh, rl, rnorm, rounds, inner = jax.lax.while_loop(cond, body, init)
+    return IRResult(xh, xl, rounds, inner, rnorm, rnorm <= tol)
 
 
 def cg_p(

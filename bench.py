@@ -2,17 +2,23 @@
 
 Measures the framework's hot path (BASELINE.md "Tracked metrics"): the
 multigrid-preconditioned x-update solve of the deformation system - DoF/s to
-a 1e-6 relative residual on the largest single-chip problem that fits the
-wall budget - using the brick-patch stencil backend (gather-free SpMV +
-slab exchange; solvers.patch_mg).  The reference publishes no numbers
-(BASELINE.json "published": {}), so vs_baseline is reported against the
-first working TPU build of THIS repo (block-ELL backend, r1): a
-self-referential progress tracker, not a reference claim.
+a 1e-8 TRUE relative residual (double-float-verified mixed-precision
+iterative refinement, solvers.patch_mg.cg_ir_p) on the largest single-chip
+problem that fits the wall budget - using the brick-patch stencil backend
+(gather-free SpMV + slab exchange; solvers.patch_mg).  The reference
+publishes no numbers (BASELINE.json "published": {}), so vs_baseline is
+reported against the first working TPU build of THIS repo (block-ELL
+backend, 1e-6 CG, r1): a self-referential progress tracker, not a
+reference claim.
 
 Timing methodology: the axon TPU tunnel neither blocks reliably in
 block_until_ready nor keeps per-call dispatch cheap (~30-50 ms RTT), so
 solves are CHAINED INSIDE one jit (lax.fori_loop) and completion is forced
-by fetching a scalar to the host.
+by fetching a scalar to the host.  The FIRST device->host fetch of a
+process pays a one-time ~3-4 min tunnel initialization (measured: a tiny
+x+1 fetch costs 172s cold, everything after compiles in ~1s), so a warmup
+fetch is fired on a background thread at startup, overlapped with host-side
+mesh construction.
 
 All progress goes to stderr; stdout carries exactly one JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -28,8 +34,100 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-BUDGET_S = 420.0  # wall budget; emit the largest size that fits
+BUDGET_S = 540.0  # wall budget; emit the largest size that fits
 REPS = 5
+
+
+_best_result = {}  # filled by main; read by the watchdog
+
+
+def _emit(metric, value, vs_baseline):
+    print(
+        json.dumps(
+            {"metric": metric, "value": value, "unit": "dof/s",
+             "vs_baseline": vs_baseline}
+        ),
+        flush=True,
+    )
+
+
+def start_watchdog(deadline_s: float):
+    """Hard stop: if the (optional) larger sizes overrun, emit the best
+    completed result and exit - a blocked tunnel fetch cannot be interrupted
+    by signals, so the watchdog prints from its own thread."""
+    import os
+    import threading
+
+    def run():
+        time.sleep(deadline_s)
+        log(f"[watchdog] {deadline_s:.0f}s deadline hit; emitting best-so-far")
+        if _best_result:
+            _emit(**_best_result)
+        else:
+            _emit("bench_timeout", 0.0, 0.0)
+        sys.stdout.flush()
+        os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def start_warmup_thread():
+    """Trigger the one-time tunnel/fetch initialization concurrently with
+    host-side setup (JAX transfers release the GIL while blocking)."""
+    import threading
+
+    def warm():
+        import jax
+        import jax.numpy as jnp
+
+        t0 = time.perf_counter()
+        y = jax.jit(lambda x: x + 1.0)(jnp.ones((8,), jnp.float32))
+        float(y[0])
+        log(f"[warmup] first fetch done in {time.perf_counter() - t0:.1f}s")
+
+    th = threading.Thread(target=warm, daemon=True)
+    th.start()
+    return th
+
+
+HOST_CACHE_VER = 2  # bump when core.mesh / core.patches layouts change
+
+
+def get_mesh(num_refs):
+    """Host-side hierarchy+patchset, pickle-cached across bench runs (the
+    driver re-runs this script every round on a 1-core host where refs=4
+    mesh construction costs minutes)."""
+    import os
+    import pickle
+
+    from admm_optim_tpu.core import geomgen
+    from admm_optim_tpu.core.mesh import Hierarchy, refine
+    from admm_optim_tpu.core.patches import build_patchset
+
+    cdir = os.path.expanduser("~/.cache/jax_admm")
+    os.makedirs(cdir, exist_ok=True)
+    path = os.path.join(cdir, f"host_mesh_3d_refs{num_refs}_v{HOST_CACHE_VER}.pkl")
+    if os.path.exists(path):
+        try:
+            t0 = time.perf_counter()
+            with open(path, "rb") as f:
+                hier, ps = pickle.load(f)
+            log(f"host mesh cache hit ({time.perf_counter() - t0:.1f}s)")
+            return hier, ps
+        except Exception as e:  # noqa: BLE001
+            log(f"host mesh cache unreadable ({e!r}); rebuilding")
+    levels = [geomgen.channel_3d()]
+    for _ in range(num_refs):
+        levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    ps = build_patchset(hier)
+    try:
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump((hier, ps), f)
+        os.replace(path + ".tmp", path)
+    except Exception as e:  # noqa: BLE001
+        log(f"host mesh cache write failed ({e!r})")
+    return hier, ps
 
 
 def run_size(num_refs):
@@ -37,36 +135,32 @@ def run_size(num_refs):
     import jax.numpy as jnp
     import numpy as np
 
-    from admm_optim_tpu.core import geomgen
-    from admm_optim_tpu.core.mesh import Hierarchy, refine
-    from admm_optim_tpu.core.patches import build_patchset
     from admm_optim_tpu.ops import patchstencil as st
     from admm_optim_tpu.ops import sparsity
     from admm_optim_tpu.ops.deformation import (
         deformation_corner_mats,
         deformation_elem_mats,
     )
-    from admm_optim_tpu.ops.p1space import P1VectorSpace
     from admm_optim_tpu.solvers import patch_mg
 
-    levels = [geomgen.channel_3d()]
-    for _ in range(num_refs):
-        levels.append(refine(levels[-1]))
-    hier = Hierarchy(levels)
+    hier, ps = get_mesh(num_refs)
     log(hier.describe())
     fine = hier.fine
-    ps = build_patchset(hier)
     log(
         f"P={ps.P} lat={ps.fine.lat_shape} slots={ps.fine.n_sites} "
         f"(x{ps.fine.n_sites / fine.num_vertices:.2f} duplication)"
     )
     coords = jnp.asarray(fine.coords)
     n_dofs = fine.num_vertices * hier.dim
-    rel_tol = 1e-6 if coords.dtype == jnp.float32 else 1e-8
+    rel_tol = 1e-8
 
-    space = P1VectorSpace.build(hier)
-    pat0 = space.patterns[0]
-    fixed0 = np.asarray(space.fixed[0])
+    # level-0-only wiring (a full P1VectorSpace.build walks every level's
+    # sparsity pattern: minutes of 1-core host time at refs=4)
+    lvl0 = hier.levels[0]
+    pat0 = sparsity.build_pattern(lvl0.elems, lvl0.num_vertices, hier.dim)
+    fixed0 = np.repeat(
+        lvl0.vertex_mask(("inlet", "wall", "outlet"))[None], hier.dim, axis=0
+    )
 
     def base_dense_fn(coords0):
         em0 = deformation_elem_mats(
@@ -95,35 +189,42 @@ def run_size(num_refs):
 
     rng = np.random.default_rng(0)
     b_g = jnp.asarray(rng.normal(size=(hier.dim, fine.num_vertices)), coords.dtype)
-    b_g = b_g * space.free_mask().astype(coords.dtype)
+    free_g = ~fine.vertex_mask(("inlet", "wall", "outlet"))
+    b_g = b_g * jnp.asarray(free_g, coords.dtype)[None]
     b_p = st.to_patch(ps.fine, b_g)
 
+    # ONE compiled solve graph (remote compiles through the tunnel are the
+    # budget eater): REPS chained IR solves + the last solve's stats
     @jax.jit
     def chain_solves(data, b):
         def body(i, carry):
-            b, acc = carry
-            res = patch_mg.cg_p(struct, data, b, max_iters=60, rel_tol=rel_tol)
-            scale = 1.0 / (1.0 + jnp.sqrt(st.owner_dot(ps.fine, res.x, res.x)))
-            return (res.x * scale, acc + res.iters)
+            b, acc, _, _, _ = carry
+            res = patch_mg.cg_ir_p(
+                struct, data, b, rel_tol=rel_tol, max_rounds=6,
+                inner_rel=1e-5, inner_iters=60,
+            )
+            x = res.x_hi + res.x_lo
+            scale = 1.0 / (1.0 + jnp.sqrt(st.owner_dot(ps.fine, x, x)))
+            return (x * scale, acc + res.inner_iters, res.res_norm,
+                    res.converged, res.rounds)
 
-        b, acc = jax.lax.fori_loop(0, REPS, body, (b, jnp.array(0, jnp.int32)))
-        return jnp.sum(b), acc
-
-    @jax.jit
-    def one_solve(data, b):
-        res = patch_mg.cg_p(struct, data, b, max_iters=60, rel_tol=rel_tol)
-        return res.iters, res.res_norm, res.converged
+        init = (b, jnp.array(0, jnp.int32), jnp.array(0.0, b.dtype),
+                jnp.array(False), jnp.array(0, jnp.int32))
+        b, acc, nrm, conv, rounds = jax.lax.fori_loop(0, REPS, body, init)
+        return jnp.sum(b), acc, nrm, conv, rounds
 
     t0 = time.perf_counter()
-    its, nrm, conv = one_solve(data, b_p)
-    log(
-        f"refs={num_refs}: warmup iters={int(its)} res={float(nrm):.3e} "
-        f"converged={bool(conv)} ({time.perf_counter() - t0:.2f}s incl compile)"
-    )
-    s, acc = chain_solves(data, b_p)
+    s, acc, nrm, conv, rounds = chain_solves(data, b_p)
     float(s)  # compile + settle
+    log(
+        f"refs={num_refs}: warmup chain: iters/solve={int(acc) // REPS} "
+        f"last rounds={int(rounds)} res={float(nrm):.3e} converged={bool(conv)} "
+        f"({time.perf_counter() - t0:.2f}s incl compile)"
+    )
+    if not bool(conv):
+        raise RuntimeError(f"refs={num_refs}: IR solve did not converge to {rel_tol}")
     t0 = time.perf_counter()
-    s, acc = chain_solves(data, b_p)
+    s, acc, nrm, conv, rounds = chain_solves(data, b_p)
     float(s)
     dt = (time.perf_counter() - t0) / REPS
     dof_per_s = n_dofs / dt
@@ -147,17 +248,29 @@ def main():
 
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()}")
+    if platform != "cpu":
+        start_warmup_thread()
+        start_watchdog(BUDGET_S + 90.0)
 
+    # fixed proxy baseline: the MG x-update solve measured on this repo's
+    # first working TPU build (r1, 2026-08-16, block-ELL backend): 9.5e5
+    # DoF/s at 3D refs=3.
+    baseline = 9.5e5
     start = time.perf_counter()
     sizes = [3, 4] if platform != "cpu" else [1]
     best = None
     for refs in sizes:
-        if best is not None and time.perf_counter() - start > BUDGET_S * 0.45:
+        if best is not None and time.perf_counter() - start > BUDGET_S * 0.55:
             log(f"skipping refs={refs}: out of budget")
             break
         try:
             dof_per_s = run_size(refs)
             best = (refs, dof_per_s)
+            _best_result.update(
+                metric=f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
+                value=dof_per_s,
+                vs_baseline=dof_per_s / baseline,
+            )
         except Exception as e:  # noqa: BLE001 - emit whatever we have
             log(f"refs={refs} failed: {e!r}")
             break
@@ -167,19 +280,10 @@ def main():
                           "vs_baseline": 0.0}))
         return
     refs, dof_per_s = best
-    # fixed proxy baseline: the MG x-update solve measured on this repo's
-    # first working TPU build (r1, 2026-08-16, block-ELL backend): 9.5e5
-    # DoF/s at 3D refs=3.
-    baseline_dof_per_s = 9.5e5
-    print(
-        json.dumps(
-            {
-                "metric": f"mg_xupdate_dof_per_s_refs{refs}_{platform}",
-                "value": dof_per_s,
-                "unit": "dof/s",
-                "vs_baseline": dof_per_s / baseline_dof_per_s,
-            }
-        )
+    _emit(
+        f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
+        dof_per_s,
+        dof_per_s / baseline,
     )
 
 
