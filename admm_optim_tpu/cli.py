@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     a("-b2ndOrder", type=int, default=0)
     a("-hscaling", type=float, default=1.0)
     a("-vorder", type=int, default=2, choices=(1, 2))
+    a("-backend", type=str, default="auto", choices=("auto", "patch", "global"),
+      help="ADMM linear-algebra backend (patch = brick-lattice TPU fast path)")
+    a("-pressurePrecond", type=str, default="mass", choices=("mass", "pcd"),
+      help="NS pressure-block preconditioner (pcd = viscosity-robust Schur)")
     a("-outDir", type=str, default="./admm_out")
     a("-x64", action="store_true", help="run in float64 on CPU")
     a("-restart", type=str, default=None, help="checkpoint file to resume from")
@@ -85,6 +89,8 @@ def main(argv=None) -> int:
         b2nd_order=bool(args.b2ndOrder),
         high_order_scaling=args.hscaling,
         grid_path=args.grid,
+        backend=args.backend,
+        pressure_precond=args.pressurePrecond,
         admm=ADMMConfig(
             admm_steps=args.admmSteps,
             admm_tolerance=args.admm_tolerance,

@@ -58,6 +58,10 @@ class ProblemConfig:
     diameter: float = 6.0
     max_attempts_per_step: int = 12  # bound on the reference's while(true)
     grid_path: str | None = None  # load a .ugx instead of generating
+    # NS pressure-block preconditioner: "mass" (lumped mass / nu - the
+    # Stokes surrogate) or "pcd" (pressure convection-diffusion Schur
+    # approximation, viscosity-robust; solvers.ns_solver.ns_pcd_M)
+    pressure_precond: str = "mass"
     # ADMM linear-algebra backend: "patch" (brick-lattice stencil fast path,
     # ~6x on TPU; needs geomgen brick metadata), "global" (block-ELL, any
     # simplex mesh), or "auto" (patch when available)
@@ -225,14 +229,48 @@ class ObstacleShapeOpt:
                 self.struct, X, a.c_eps, a.tau, a.c_mass
             )
         p2iso = cfg.vorder == 2
-        self._ns_pre = lambda X, s=None, adjoint=False: ns_solver.ns_gmg_precond_data(
-            self.ns_space, self.pre_space, self.pre_struct, X, cfg.visc,
-            s=s, p2_iso=p2iso, adjoint=adjoint,
-        )
+        if cfg.pressure_precond == "pcd":
+            # PCD Schur approximation (viscosity-robust pressure block;
+            # ns_solver.ns_pcd_precond_data)
+            self.p_space, self.p_struct = ns_solver.ns_pcd_spaces(
+                hier, cfg.do_nothing
+            )
+
+            def _ns_pre(X, s=None, adjoint=False):
+                pre_data, _ = ns_solver.ns_gmg_precond_data(
+                    self.ns_space, self.pre_space, self.pre_struct, X,
+                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                )
+                pcd = ns_solver.ns_pcd_precond_data(
+                    self.ns_space, self.p_space, self.p_struct, X, cfg.visc,
+                    s=s, adjoint=adjoint,
+                )
+                return (pre_data,) + pcd + (X,)
+
+            def _M_fn(r, pre_data, ap_data, fp_vals, mp, X):
+                return ns_solver.ns_pcd_M(
+                    self.ns_space, self.pre_struct, pre_data, self.p_space,
+                    self.p_struct, ap_data, fp_vals, mp,
+                    coords=X, visc=cfg.visc, stab=cfg.stab,
+                )(r)
+        else:
+
+            def _ns_pre(X, s=None, adjoint=False):
+                return ns_solver.ns_gmg_precond_data(
+                    self.ns_space, self.pre_space, self.pre_struct, X,
+                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                )
+
+            def _M_fn(r, pre_data, pdiag):
+                return ns_solver.ns_gmg_M(
+                    self.ns_space, self.pre_struct, pre_data, pdiag
+                )(r)
+
+        self._ns_pre = _ns_pre
         self._ns_solve_pre = jax.jit(
-            lambda X, s0, pre_data, pdiag, visc: ns_solver.newton_solve(
+            lambda X, s0, m_args, visc: ns_solver.newton_solve(
                 self.ns_space, X, s0, visc, cfg.stab, cfg.ns,
-                M=ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag),
+                M=lambda r: _M_fn(r, *m_args),
             )
         )
         # adjoint: the diagonal block preconditioner is both stable and the
@@ -250,19 +288,16 @@ class ObstacleShapeOpt:
         self._ns_stepped = int(lvl.num_elems) > 20000
         self._ns_step_cache = {}
 
-        def _M_fn(r, pre_data, pdiag):
-            return ns_solver.ns_gmg_M(self.ns_space, self.pre_struct, pre_data, pdiag)(r)
-
         def _ns_solve(X, s0, visc=None):
-            pre_data, pdiag = self._ns_pre(X, s=s0)
+            m_args = self._ns_pre(X, s=s0)
             nu = cfg.visc if visc is None else visc
             if self._ns_stepped:
                 return ns_solver.newton_solve_stepped(
                     self.ns_space, X, s0, nu, cfg.stab, cfg.ns,
-                    M_fn=_M_fn, m_args=(pre_data, pdiag),
+                    M_fn=_M_fn, m_args=m_args,
                     step_jit_cache=self._ns_step_cache,
                 )
-            return self._ns_solve_pre(X, s0, pre_data, pdiag, nu)
+            return self._ns_solve_pre(X, s0, m_args, nu)
 
         def _adjoint(X, s):
             return self._adjoint_pre(X, s)

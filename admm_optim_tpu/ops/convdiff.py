@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from .geometry import elem_geometry, p1_phys_grads
 
 
-def convdiff_elem_mats(coords, elems, w, visc, art_diff=True):
+def convdiff_elem_mats(coords, elems, w, visc, art_diff=True, ncomp=None):
     """(C, C, nl, nl, E) element matrices of nu_eff*grad:grad + (w.grad u, v).
 
     w: (d, V) advecting velocity at the mesh vertices (P1).
@@ -32,8 +32,12 @@ def convdiff_elem_mats(coords, elems, w, visc, art_diff=True):
     the PRECONDITIONER operator - plain Galerkin convection at cell Peclet
     > 1 is not smoothable by Jacobi-type sweeps; the stabilized surrogate is
     (the solved system itself stays plain Galerkin; this operator only ever
-    preconditions)."""
+    preconditions).
+    ncomp: block size C (default d: the component-diagonal velocity
+    operator); ncomp=1 gives the scalar operator (e.g. the PCD pressure
+    convection-diffusion Fp / Laplacian Ap, solvers.ns_solver)."""
     d = coords.shape[1]
+    C = d if ncomp is None else ncomp
     nl = d + 1
     _, _, Jinv, vol = elem_geometry(coords, elems)
     g = p1_phys_grads(Jinv)  # (nl, d, E)
@@ -42,13 +46,11 @@ def convdiff_elem_mats(coords, elems, w, visc, art_diff=True):
     mfac = ((jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))).astype(coords.dtype)
     wbar = jnp.einsum("ik,dke->die", mfac, we)  # int w phi_i / vol
     Cmat = jnp.einsum("jde,die,e->ije", g, wbar, vol)
-    nu_eff = visc
+    eyeC = jnp.eye(C, dtype=coords.dtype)
     if art_diff:
         h = vol ** (1.0 / d)
         wmag = jnp.sqrt(jnp.sum(we.mean(axis=1) ** 2, axis=0))
         nu_eff = visc + 0.5 * wmag * h  # (E,)
         K = jnp.einsum("iae,jae,e->ije", g, g, vol * nu_eff)
-        eyeC = jnp.eye(d, dtype=coords.dtype)
         return jnp.einsum("cd,ije->cdije", eyeC, K + Cmat)
-    eyeC = jnp.eye(d, dtype=coords.dtype)
     return jnp.einsum("cd,ije->cdije", eyeC, visc * K + Cmat)

@@ -23,30 +23,40 @@ from .deformation import deformation_elem_mats
 
 @dataclasses.dataclass
 class P1VectorSpace:
-    """Static wiring of a vector P1 space over all hierarchy levels."""
+    """Static wiring of a (block-)P1 space over all hierarchy levels.
+
+    ncomp: dofs per vertex - the mesh dimension for the vector deformation /
+    velocity spaces, 1 for scalar spaces (e.g. the PCD pressure operators,
+    solvers.ns_solver.ns_pcd_precond_data)."""
 
     hier: Hierarchy
     dirichlet: tuple[str, ...]
     patterns: tuple[sparsity.Pattern, ...]
-    fixed: list  # per level (V, C) bool np
+    fixed: list  # per level (C, V) bool np
     parents: list  # per level l>=1: (V_l, 2) np
     elems: list  # per level jnp (E, d+1)
     nv: list  # vertices per level
+    ncomp: int = 0  # 0 sentinel -> hier.dim (set in build)
 
     @classmethod
-    def build(cls, hier: Hierarchy, dirichlet=("inlet", "wall", "outlet")) -> "P1VectorSpace":
-        d = hier.dim
+    def build(
+        cls, hier: Hierarchy, dirichlet=("inlet", "wall", "outlet"), ncomp=None
+    ) -> "P1VectorSpace":
+        C = hier.dim if ncomp is None else ncomp
         patterns, fixed, elems, nv = [], [], [], []
         for lvl in hier.levels:
-            patterns.append(sparsity.build_pattern(lvl.elems, lvl.num_vertices, d))
+            patterns.append(sparsity.build_pattern(lvl.elems, lvl.num_vertices, C))
             m = lvl.vertex_mask(dirichlet)
-            fixed.append(np.repeat(m[None, :], d, axis=0))  # (C, V)
+            fixed.append(np.repeat(m[None, :], C, axis=0))  # (C, V)
             elems.append(jnp.asarray(lvl.elems))
             nv.append(lvl.num_vertices)
         parents = [
             jnp.asarray(hier.levels[l].parents) for l in range(1, len(hier.levels))
         ]
-        return cls(hier, tuple(dirichlet), tuple(patterns), fixed, parents, elems, nv)
+        return cls(
+            hier, tuple(dirichlet), tuple(patterns), fixed, parents, elems, nv,
+            ncomp=C,
+        )
 
     @property
     def fine_pattern(self) -> sparsity.Pattern:
@@ -80,6 +90,11 @@ class P1VectorSpace:
         cached) kernel: one monolithic whole-hierarchy graph took minutes to
         compile on TPU, the split compiles in seconds and re-runs in ms."""
         import jax
+
+        assert self.ncomp in (0, self.hier.dim), (
+            "assemble_mg builds the vector elasticity operator; scalar "
+            "spaces use assemble_mg_convdiff"
+        )
 
         from ..solvers.mg import estimate_lmax
 
@@ -149,7 +164,10 @@ class P1VectorSpace:
 
                 def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
                     def fn(coords_l, w_l):
-                        em = convdiff_elem_mats(coords_l, jnp.asarray(elems_l), w_l, visc)
+                        em = convdiff_elem_mats(
+                            coords_l, jnp.asarray(elems_l), w_l, visc,
+                            ncomp=self.ncomp or None,
+                        )
                         vals = sparsity.assemble_values(pat, em)
                         vals = sparsity.bake_dirichlet(pat, vals, jnp.asarray(fixed_l))
                         diag = sparsity.diag_cn(pat, vals).reshape(-1)

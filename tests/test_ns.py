@@ -104,3 +104,59 @@ def test_p1p1_stabilized(setup):
     assert bool(c2)
     d2 = float(nsops.drag(space2, coords, s2, VISC))
     assert d1 == pytest.approx(d2, rel=0.25), (d1, d2)
+
+
+def test_pcd_preconditioner(setup):
+    """Block-triangular PCD Schur block (solvers.ns_solver.ns_pcd_M): at a
+    fixed GMRES budget it must beat the block-diagonal lumped-mass Stokes
+    surrogate on residual reduction (measured margin at visc=0.02 on the
+    refs=2 channel is ~100x; this coarser test uses a softer factor), and
+    a full Newton solve with it must converge."""
+    from admm_optim_tpu.core.mesh import Hierarchy, refine
+    from admm_optim_tpu.ops.p1space import P1VectorSpace
+    import dataclasses
+
+    hier, lvl, space, coords = setup
+    visc = 0.05
+    s0 = _initial_state(space, coords)
+    cfg = ns_solver.NewtonConfig(max_iters=25, lin_max_iters=300)
+
+    # velocity block (shared)
+    ns_dir = ("inlet", "wall", "obstacle_surface")
+    ext = Hierarchy(hier.levels + [refine(lvl)])
+    pre_space = P1VectorSpace.build(ext, dirichlet=ns_dir)
+    pre_struct = dataclasses.replace(
+        pre_space.mg_structure(pre_smooth=2, post_smooth=2), smoother="jacobi"
+    )
+    pre_data, pdiag = ns_solver.ns_gmg_precond_data(
+        space, pre_space, pre_struct, coords, visc, s=s0
+    )
+
+    p_space, p_struct = ns_solver.ns_pcd_spaces(hier)
+    ap_data, fp_vals, mp = ns_solver.ns_pcd_precond_data(
+        space, p_space, p_struct, coords, visc, s=s0
+    )
+    M_pcd = ns_solver.ns_pcd_M(
+        space, pre_struct, pre_data, p_space, p_struct, ap_data, fp_vals, mp,
+        coords=coords, visc=visc,
+    )
+    M_mass = ns_solver.ns_gmg_M(space, pre_struct, pre_data, pdiag)
+
+    # fixed-budget GMRES on the Jacobian system with each Schur block
+    from admm_optim_tpu.solvers.krylov import gmres
+
+    r = nsops.ns_residual(space, coords, s0, visc)
+    Jv = lambda x: jax.jvp(
+        lambda s: nsops.ns_residual(space, coords, s, visc), (s0,), (x,)
+    )[1]
+    res_pcd = gmres(Jv, -r, M=M_pcd, restart=40, max_iters=160, rel_tol=1e-12)
+    res_mass = gmres(Jv, -r, M=M_mass, restart=40, max_iters=160, rel_tol=1e-12)
+    assert float(res_pcd.res_norm) < 0.5 * float(res_mass.res_norm)
+
+    # full Newton with triangular PCD converges
+    s, it, nrm, conv = ns_solver.newton_solve(
+        space, coords, s0, visc, cfg=cfg, M=M_pcd
+    )
+    assert bool(conv)
+    d = nsops.drag(space, coords, s, visc)
+    assert np.isfinite(float(d)) and float(d) > 0
