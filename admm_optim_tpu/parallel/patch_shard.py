@@ -68,11 +68,17 @@ class ShardedPatchMG:
 
     def table_specs(self, lvl_idx: int):
         """LevelTables pytree of PartitionSpecs: owner/free/gid sharded on
-        the patch axis, small neighbor/correction tables replicated."""
+        the patch axis, small neighbor/correction tables replicated.
+        Agglomerated levels (< struct.replicate_below) are fully
+        replicated."""
         lvl = self.ps.levels[lvl_idx]
         dim = self.ps.dim
-        shard = P(*([None] * dim + [self.axis]))
         rep = P()
+        shard = (
+            rep
+            if lvl_idx < self.struct.replicate_below
+            else P(*([None] * dim + [self.axis]))
+        )
         return st.LevelTables(
             owner=shard,
             free=shard,
@@ -112,8 +118,15 @@ class ShardedPatchMG:
     def data_specs(self):
         """PatchMGData pytree of PartitionSpecs."""
         dim = self.ps.dim
-        W = [P(*([None] * (3 + dim) + [self.axis])) for _ in self.ps.levels]
-        invd = [P(*([None] * (1 + dim) + [self.axis])) for _ in self.ps.levels]
+        RB = self.struct.replicate_below
+        W = [
+            P() if l < RB else P(*([None] * (3 + dim) + [self.axis]))
+            for l in range(len(self.ps.levels))
+        ]
+        invd = [
+            P() if l < RB else P(*([None] * (1 + dim) + [self.axis]))
+            for l in range(len(self.ps.levels))
+        ]
         lmax = [P() for _ in self.ps.levels]
         tabs = [self.table_specs(l) for l in range(len(self.ps.levels))]
         return pmg.PatchMGData(W, invd, lmax, P(), tabs)
@@ -343,16 +356,26 @@ def build_sharded_mg(
     pre_smooth: int = 3,
     post_smooth: int = 3,
     cheb_lower: float = 0.25,
+    replicate_below: int = 0,
 ) -> ShardedPatchMG:
-    """Pad P to the axis size and wire up the spmd MG structure."""
+    """Pad P to the axis size and wire up the spmd MG structure.
+
+    replicate_below: levels below this index run agglomerated (replicated
+    on every device; solvers.patch_mg.PatchMGStructure) - the coarse-grid
+    analogue of the reference's process hierarchy (2d_admm.lua:174-206)."""
     n = int(mesh.shape[axis])
     ps_pad = pad_patchset(ps, n)
+    if not 0 <= replicate_below <= ps_pad.k:
+        raise ValueError(
+            f"replicate_below={replicate_below} out of range [0, {ps_pad.k}]"
+        )
     struct = pmg.PatchMGStructure(
         ps_pad,
         pre_smooth=pre_smooth,
         post_smooth=post_smooth,
         cheb_lower=cheb_lower,
         spmd=st.SpmdCtx(axis=axis, nshards=n),
+        replicate_below=replicate_below,
     )
     return ShardedPatchMG(
         ps=ps_pad, struct=struct, mesh=mesh, axis=axis, P_orig=ps.P

@@ -37,6 +37,13 @@ class PatchMGStructure:
     # with the patch axis sharded: exchanges become halo all-gathers, dots
     # become psums, the base solve psum-gathers to a replicated dense solve
     spmd: st.SpmdCtx | None = None
+    # level-wise device agglomeration (the reference's process-hierarchy
+    # coarse-grid agglomeration, 2d_admm.lua:174-206): under spmd, levels
+    # l < replicate_below carry FULL patch arrays replicated on every
+    # device - one all-gather at the restriction transition replaces all
+    # per-sweep halo collectives on the latency-bound coarse levels.
+    # 0 = only the level-0 dense base solve is gathered (always the case).
+    replicate_below: int = 0
 
 
 @jax.tree_util.register_pytree_node_class
@@ -132,20 +139,35 @@ def assemble_patch_mg_p(
             slice(0, None, stride) for _ in range(ps.dim)
         )
         cp = coords_p[sl]
+        # agglomerated coarse level: every device assembles the FULL level
+        # from the all-gathered coarse coordinates (tiny) so the V-cycle
+        # below replicate_below runs without further collectives
+        lvl_spmd = spmd
+        if spmd is not None and l < struct.replicate_below:
+            cp = jax.lax.all_gather(cp, spmd.axis, axis=cp.ndim - 1, tiled=True)
+            lvl_spmd = None
         W = st.assemble_w(ps, l, cp, corner_mat_fn)
         W = st.bake_dirichlet_w(ps, l, W, free=tabs[l].free.astype(W.dtype))
-        diag = st.exchange_sum(None, st.stencil_diag(ps, l, W), tabs[l], spmd=spmd)
+        diag = st.exchange_sum(
+            None, st.stencil_diag(ps, l, W), tabs[l], spmd=lvl_spmd
+        )
         free = tabs[l].free.astype(W.dtype)
         diag = jnp.where(free[None] > 0, diag, 1.0)
         inv_diag = 1.0 / diag
         W_l.append(W)
         invd_l.append(inv_diag)
-        lmax_l.append(estimate_lmax_p(ps, tabs[l], W, inv_diag, spmd=spmd))
+        lmax_l.append(estimate_lmax_p(ps, tabs[l], W, inv_diag, spmd=lvl_spmd))
     V0 = int(ps.levels[0].gid.max()) + 1
     sl0 = (slice(None),) + tuple(
         slice(0, None, 2**ps.k) for _ in range(ps.dim)
     )
-    coords0 = st.from_patch_tab(tabs[0], coords_p[sl0], V0, spmd=spmd)  # (d, V0)
+    cp0 = coords_p[sl0]
+    if spmd is not None and struct.replicate_below > 0:
+        # tabs[0] is full/replicated under agglomeration
+        cp0 = jax.lax.all_gather(cp0, spmd.axis, axis=cp0.ndim - 1, tiled=True)
+        coords0 = st.from_patch_tab(tabs[0], cp0, V0, spmd=None)
+    else:
+        coords0 = st.from_patch_tab(tabs[0], cp0, V0, spmd=spmd)  # (d, V0)
     base_inv = base_dense_fn(coords0.T)
     return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs)
 
@@ -193,13 +215,22 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=Non
 
 
 def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
-    """One V(pre,post)-cycle; b, x (C, *latf, P) consistent, free-masked."""
+    """One V(pre,post)-cycle; b, x (C, *latf, P) consistent, free-masked.
+
+    Under spmd, levels l < struct.replicate_below run agglomerated: the
+    restriction into the topmost replicated level all-gathers the additive
+    residual once, everything below is redundantly-replicated single-device
+    arithmetic (bit-identical across devices), and the prolongation slices
+    the local patch block back out."""
     ps = struct.ps
     L = ps.k
 
     spmd = struct.spmd
+    RB = struct.replicate_below if spmd is not None else 0
 
     def solve_level(l, b_l, x_l):
+        # b_l, x_l are FULL patch arrays when l < RB, local shards otherwise
+        lvl_spmd = spmd if l >= RB else None
         lvl = ps.levels[l]
         tab = data.tabs[l]
         if l == 0:
@@ -209,12 +240,12 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
             # inverse -> patch
             C = b_l.shape[0]
             V0 = data.base_inv.shape[0] // C
-            bg = st.from_patch_tab(tab, b_l, V0, mode="owner", spmd=spmd)
+            bg = st.from_patch_tab(tab, b_l, V0, mode="owner", spmd=lvl_spmd)
             xg = (data.base_inv @ bg.reshape(-1)).reshape(C, V0)
             return st.to_patch_tab(tab, xg)
         x_l = chebyshev_smooth_p(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.pre_smooth, struct.cheb_lower, spmd,
+            x_l, b_l, struct.pre_smooth, struct.cheb_lower, lvl_spmd,
         )
         # restriction acts on the ADDITIVE residual (UG4 storage-type rule:
         # defects are additive, 2d_admm.lua:958): owner-weighted b minus the
@@ -224,14 +255,23 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
         r_add = b_l * owner[None] - st.apply_w(ps, data.W[l], x_l)
         rc = st.restrict_p(ps, l - 1, r_add)
         tab_c = data.tabs[l - 1]
-        rc = st.exchange_sum(None, rc, tab_c, spmd=spmd) * tab_c.free[None].astype(
-            rc.dtype
-        )
+        agglom_edge = spmd is not None and l >= RB and (l - 1) < RB
+        if agglom_edge:
+            # one collective replaces all coarse-level halo traffic
+            rc = jax.lax.all_gather(rc, spmd.axis, axis=rc.ndim - 1, tiled=True)
+        rc_spmd = spmd if (l - 1) >= RB else None
+        rc = st.exchange_sum(None, rc, tab_c, spmd=rc_spmd) * tab_c.free[
+            None
+        ].astype(rc.dtype)
         ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
+        if agglom_edge:
+            Pl = x_l.shape[-1]
+            off = st._shard_offset(tab, Pl, spmd)
+            ec = jax.lax.dynamic_slice_in_dim(ec, off, Pl, axis=ec.ndim - 1)
         x_l = x_l + st.prolong_p(ps, l - 1, ec) * tab.free[None].astype(x_l.dtype)
         x_l = chebyshev_smooth_p(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.post_smooth, struct.cheb_lower, spmd,
+            x_l, b_l, struct.post_smooth, struct.cheb_lower, lvl_spmd,
         )
         return x_l
 

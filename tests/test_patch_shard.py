@@ -233,3 +233,68 @@ def test_sharded_admm_matches_single_device():
     np.testing.assert_allclose(
         float(st_sh.max_grad_norm), float(st_ref.max_grad_norm), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("dim,refs,rb", [(2, 2, 1), (3, 2, 2)])
+def test_agglomerated_coarse_levels_match(dim, refs, rb):
+    """replicate_below: the agglomerated V-cycle (coarse levels replicated
+    on every device; one all-gather at the transition) must produce the
+    same assembly and the same CG iterates as the fully-sharded path."""
+    hier = _hier(dim, refs)
+    ps_raw = build_patchset(hier)
+    sh0 = build_sharded_mg(ps_raw, _mesh())
+    sh = build_sharded_mg(ps_raw, _mesh(), replicate_below=rb)
+    ps = sh.ps
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords)
+
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = np.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), 1.0, 1.0, 1.0
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    corner_fn = lambda c: deformation_corner_mats(c, 1.0, 1.0, 1.0)
+    coords_p0 = sh0.to_patch_sharded(coords.T)
+    data0 = jax.jit(sh0.assemble_fn(corner_fn, base_dense_fn))(
+        coords_p0, sh0.make_tables(coords.dtype)
+    )
+    coords_p = sh.to_patch_sharded(coords.T)
+    data = jax.jit(sh.assemble_fn(corner_fn, base_dense_fn))(
+        coords_p, sh.make_tables(coords.dtype)
+    )
+    for l in range(len(ps.levels)):
+        np.testing.assert_allclose(
+            np.asarray(data.W[l]), np.asarray(data0.W[l]), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(data.inv_diag[l]), np.asarray(data0.inv_diag[l]),
+            atol=1e-12,
+        )
+
+    rng = np.random.default_rng(5)
+    b_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices)), coords.dtype)
+    b_g = b_g * space.free_mask().astype(coords.dtype)
+    b_p = st.to_patch(ps.fine, b_g)
+
+    res0 = jax.jit(sh0.solve_fn(max_iters=40, rel_tol=1e-10))(
+        data0, sh0.to_patch_sharded_raw(b_p)
+    )
+    res = jax.jit(sh.solve_fn(max_iters=40, rel_tol=1e-10))(
+        data, sh.to_patch_sharded_raw(b_p)
+    )
+    assert bool(res.converged)
+    assert int(res.iters) == int(res0.iters)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res0.x), atol=1e-9)
+
+    # mixed-precision IR also runs agglomerated
+    resir = jax.jit(sh.solve_ir_fn(rel_tol=1e-11))(
+        data, sh.to_patch_sharded_raw(b_p)
+    )
+    assert bool(resir.converged)
