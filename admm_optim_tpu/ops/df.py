@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -28,17 +29,50 @@ class DF(NamedTuple):
     lo: jnp.ndarray
 
 
+def _ob(x):
+    """Optimization barrier guarding error-free transformations.
+
+    Under jit, XLA's algebraic simplifier (excess-precision rules) folds
+    the EFT identities as if arithmetic were exact - e.g. the Knuth
+    two_sum error collapses to 0 and the Veltkamp split to a no-op -
+    silently degrading every double-float result to plain f32.  Measured:
+    jitted residual_df was 6e-8 off while the op-by-op eager run was 1e-13
+    (XLA:CPU; the same rewrite is licensed on TPU).  A barrier on each
+    rounded intermediate blocks the pattern match at negligible cost (the
+    EFT chains are elementwise)."""
+    return jax.lax.optimization_barrier(x)
+
+
+def barrier_pair(h, l):
+    """Barrier a DF pair at a stage boundary.
+
+    Even with per-primitive barriers, fusing two DF stages under one jit
+    lets the simplifier fold identities that SPAN the stages (measured:
+    jit(apply_w_df) exact, jit(exchange_sum_df) exact, jit of their
+    composition 6e-8 off).  Each DF-producing kernel barriers its output
+    pair."""
+    return jax.lax.optimization_barrier((h, l))
+
+
 def two_sum(a, b):
-    """Error-free sum: a + b = s + e exactly (Knuth, 6 flops)."""
+    """Error-free sum: a + b = s + e exactly (Knuth, 6 flops).
+
+    Operands are barriered first: if a or b is an unfrozen product
+    expression, XLA may contract it into `a + b` as an FMA (one rounding)
+    while the compensation terms see the separately-rounded product - the
+    returned pair is then internally inconsistent (measured: hi off by
+    2 ulp with matching lo, corrupting iterative refinement)."""
+    a, b = _ob((a, b))
     s = a + b
-    bb = s - a
-    e = (a - (s - bb)) + (b - bb)
+    bb = _ob(s - a)
+    e = (a - _ob(s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Error-free sum assuming |a| >= |b| (Dekker, 3 flops)."""
-    s = a + b
+    a, b = _ob((a, b))
+    s = _ob(a + b)
     e = b - (s - a)
     return s, e
 
@@ -50,7 +84,7 @@ def _split(a):
     f32, 2^27+1 for f64 (so the same code yields double-double on CPU
     tests)."""
     c = a * _split_const(a.dtype)
-    hi = c - (c - a)
+    hi = c - _ob(c - a)
     return hi, a - hi
 
 
@@ -60,7 +94,8 @@ def _split_const(dtype):
 
 def two_prod(a, b):
     """Error-free product: a * b = p + e exactly (Dekker, 17 flops)."""
-    p = a * b
+    a, b = _ob((a, b))
+    p = _ob(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -81,14 +116,26 @@ def to_f(x: DF):
 
 
 def renorm(hi, lo) -> DF:
-    return DF(*fast_two_sum(hi, lo))
+    """Safe renormalization: unconditional two_sum.  fast_two_sum requires
+    |hi| >= |lo|, which FAILS under catastrophic cancellation (e.g. the
+    residual b - Ax: hi cancels to ~0 while lo carries the accumulated
+    eps-level terms) - using it there silently degrades the pair to plain
+    f32 accuracy, with compilation-dependent symptoms."""
+    return DF(*two_sum(hi, lo))
 
 
 def add(x: DF, y: DF) -> DF:
-    """DF + DF (Dekker add2: ~20 flops, error O(eps^2))."""
-    s, e = two_sum(x.hi, y.hi)
-    e = e + (x.lo + y.lo)
-    return renorm(s, e)
+    """DF + DF, cancellation-safe (QD-style accurate add, ~17 flops).
+
+    The classic Dekker add2 (two_sum on hi, lump the lo parts, fast_two_sum)
+    loses the compensation when the hi sum cancels below the lo magnitude -
+    exactly the situation of an iterative-refinement residual."""
+    s1, s2 = two_sum(x.hi, y.hi)
+    t1, t2 = two_sum(x.lo, y.lo)
+    s2 = s2 + t1
+    s1, s2 = two_sum(s1, s2)
+    s2 = s2 + t2
+    return DF(*two_sum(s1, s2))
 
 
 def add_f(x: DF, y) -> DF:

@@ -11,6 +11,14 @@ SpMV (ops.sparsity) this removes the per-element gather that measures
 ~1 element/cycle on v5e (4.4 of 5.2 ms at 367k DoF); the stencil apply is
 pure HBM-bandwidth on W.
 
+W is stored SLOT-MAJOR, (O, C, C, *lat, P): XLA:TPU's layout assignment
+puts the minor-2 array dimension on sublanes, and with the slot axis there
+(the old (C, C, O, ...) layout) every per-slot W slice read only 1 of 8
+sublanes per tile - measured 3-30 ms per 2.8M-DoF apply at refs=4.
+Slot-major keeps per-slot slices contiguous, and the apply contracts all
+slots in ONE einsum so W streams from HBM exactly once (~1.6 ms, ~380 GB/s
+effective on v5e).
+
 Duplicated-site semantics (the UG4 additive/consistent storage protocol,
 2d_admm.lua:904-961): patch arrays of a global vector hold IDENTICAL values
 at sites shared between bricks ("consistent"); operator application yields
@@ -98,8 +106,8 @@ def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
             for b in range(dim + 1):
                 slot = ps.stencil_slot[tuple(int(x) for x in (co[b] - co[a]))]
                 slot_terms[slot].append(jnp.pad(A[:, :, a, b], pad))
-    W = jnp.stack([sum(terms[1:], terms[0]) for terms in slot_terms], axis=2)
-    return W
+    W = jnp.stack([sum(terms[1:], terms[0]) for terms in slot_terms], axis=0)
+    return W  # (O, C, C, *lat, P) slot-major
 
 
 def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
@@ -112,42 +120,45 @@ def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
     cols = jnp.stack(
         [shift_read(free, o) for o in ps.stencil], axis=0
     )  # (O, *lat, P): free at s+o
-    return W * cols[None, None]
+    return W * cols[:, None, None]
 
 
 def stencil_diag(ps: PatchSet, level: int, W):
-    """Additive per-copy diagonal (C, *lat, P): W[c, c, 0]."""
-    C = W.shape[0]
-    return W[jnp.arange(C), jnp.arange(C), 0]
+    """Additive per-copy diagonal (C, *lat, P): W[0, c, c]."""
+    C = W.shape[1]
+    return W[0][jnp.arange(C), jnp.arange(C)]
 
 
 def apply_w(ps: PatchSet, W, x):
     """Additive operator application: x consistent (C, *lat, P) ->
-    y additive (C, *lat, P).
+    y additive (C, *lat, P); W slot-major (O, C, C, *lat, P).
 
-    One zero-pad of x turns every stencil offset into a FULL-shape slice, so
-    the sum of O=7/15 terms fuses into a single pass over W (no partial-
-    region updates, which XLA materializes).  The per-slot einsum runs on
-    the FLATTENED trailing dims: W's (*lat, P) tail is contiguous, so the
-    reshape is free, and the flat minor dim tiles onto (8, 128) vector
-    registers without the ~2x padding waste of a (lat=2^k+1, P) minor pair
-    (measured on v5e at refs=3: 1.5 -> 0.57 ms per 367k-DoF apply)."""
+    One zero-pad of x turns every stencil offset into a FULL-shape slice;
+    the O windows are stacked and ALL slots contract in one broadcast
+    multiply + reduction over (slot, component), so W (the dominant HBM
+    traffic by 30-50x) streams exactly once on the VPU.  Deliberately NOT
+    an einsum/dot_general: XLA lowers the (o,d)-contraction to per-site
+    3x45 MXU matmuls, which at 'highest' f32 precision ran 7.4x slower
+    (29.7 vs 4.0 ms at refs=4 on v5e); the per-slot-einsum form was worse
+    still when layout assignment put the slot axis on sublanes."""
     dim = ps.dim
     lat = x.shape[1 : 1 + dim]
     C = x.shape[0]
+    O = len(ps.stencil)
     pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
     xp = jnp.pad(x, pad)
-    Wf = W.reshape(W.shape[:3] + (-1,))  # free: trailing dims contiguous
-    y = None
-    for oi in range(len(ps.stencil)):
+    ws = []
+    for oi in range(O):
         o = ps.stencil[oi]
         sl = (
             (slice(None),)
             + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
             + (slice(None),)
         )
-        t = jnp.einsum("cds,ds->cs", Wf[:, :, oi], xp[sl].reshape(C, -1))
-        y = t if y is None else y + t
+        ws.append(xp[sl])
+    xw = jnp.stack(ws, axis=0).reshape(O, C, -1)  # (O, D, S)
+    Wf = W.reshape(O, C, C, -1)  # (O, C, D, S)
+    y = jnp.sum(Wf * xw[:, None], axis=(0, 2))  # (C, S)
     return y.reshape(x.shape)
 
 
@@ -161,31 +172,48 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     ~6x the flops of apply_w, but used outside the Krylov hot loop."""
     dim = ps.dim
     lat = xh.shape[1 : 1 + dim]
+    C = W.shape[1]
+    O = len(ps.stencil)
     pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
     xhp = jnp.pad(xh, pad)
     xlp = jnp.pad(xl, pad)
-    C = W.shape[0]
-    acc_h = acc_l = None
-    for oi in range(len(ps.stencil)):
+    ws_h, ws_l = [], []
+    for oi in range(O):
         o = ps.stencil[oi]
         sl = (
             (slice(None),)
             + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
             + (slice(None),)
         )
-        xho = xhp[sl]
-        xlo = xlp[sl]
+        ws_h.append(xhp[sl])
+        ws_l.append(xlp[sl])
+    S = ws_h[0][0].size
+    xwh = jnp.stack(ws_h, axis=0).reshape(O, C, -1)  # (O, D, S)
+    xwl = jnp.stack(ws_l, axis=0).reshape(O, C, -1)
+    Wf = W.reshape(O, C, C, -1)  # (O, C, D, S)
+
+    # unrolled fold over slots on the flattened slot-major arrays: each
+    # step reads one CONTIGUOUS W block and folds its C exact products
+    # into the DF accumulator.  Deliberately NOT a lax.fori_loop: the
+    # bitwise-identical body under fori_loop loses the compensation on
+    # XLA:CPU (hi parts come back with plain-f32 rounding, lo parts
+    # intact - an XLA loop-optimization artifact caught by
+    # tests/test_df.py::test_apply_w_df_accuracy), and the
+    # fully-materialized (O,C,D,S) broadcast costs 600 MB of temporaries.
+    acc_h = jnp.zeros((C, S), xh.dtype)
+    acc_l = acc_h
+    for oi in range(O):
+        w = Wf[oi]  # (C, D, S) static contiguous slice
+        xh_o = xwh[oi]
+        xl_o = xwl[oi]
         for d in range(C):
-            w = W[:, d, oi]  # (C, *lat, P)
-            p, e = df.two_prod(w, xho[d][None])
-            lo = e + w * xlo[d][None]
-            if acc_h is None:
-                acc_h, acc_l = p, lo
-            else:
-                acc_h, t = df.two_sum(acc_h, p)
-                acc_l = acc_l + t + lo
-    s, e = df.fast_two_sum(acc_h, acc_l)
-    return s, e
+            p, e = df.two_prod(w[:, d], xh_o[d][None])
+            lo = e + w[:, d] * xl_o[d][None]
+            acc_h, t = df.two_sum(acc_h, p)
+            acc_l = acc_l + t + lo
+    s, e = df.two_sum(acc_h, acc_l)
+    s, e = df.barrier_pair(s, e)
+    return s.reshape(xh.shape), e.reshape(xh.shape)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +262,8 @@ class LevelTables:
     bseg: jnp.ndarray | None
     gid: jnp.ndarray | None = None  # (*lat, P) int32 global vertex ids
     # padded duplicate-group tables for the error-free double-float exchange
-    # (exchange_sum_df): flat slot index / validity mask per (group, member)
+    # (exchange_sum_df, general/non-slab path): flat slot index / validity
+    # mask per (group, member)
     dfg_idx: jnp.ndarray | None = None  # (nseg, K) int32
     dfg_mask: jnp.ndarray | None = None  # (nseg, K) float32
     # static
@@ -474,15 +503,20 @@ def _exchange_segsum_spmd(tab: LevelTables, x, spmd: SpmdCtx):
 def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
     """additive -> consistent for a double-float pair, ERROR-FREE.
 
-    The slab/segment-sum exchanges round each duplicate add (eps*|y| error),
-    which would cap mixed-precision residuals at ~1e-7; here duplicate
-    groups are gathered into the padded (nseg, K) table and folded with
-    two_sum, so the consistent sum is exact to O(eps^2).  Only used in the
-    residual pass; Krylov/smoother iterations keep the fast f32 exchanges.
+    The plain exchanges round each duplicate add (eps*|y| error), which
+    would cap mixed-precision residuals at ~1e-7; here duplicate groups are
+    gathered into the padded (nseg, K) table and folded with two_sum, so
+    the consistent sum is exact to O(eps^2).  Only used in the residual
+    pass; Krylov/smoother iterations keep the fast f32 exchanges.
 
-    Under ``spmd`` each slot's value lives on exactly one shard; the psum of
-    zero-masked gathers is exact (adding zeros is error-free), after which
-    every shard folds the replicated (C, nseg, K) table identically."""
+    (A faster slab variant - DF face adds + a small corner fold - was
+    removed: under jit, XLA rematerializes parts of its hi-path into
+    differently-contracted fusions, making the pair internally
+    inconsistent at sweep-composed corners; the group fold has no such
+    duplicated seams and is verified exact inside jitted loops.)
+
+    Under ``spmd`` each slot's value lives on exactly one shard; psums of
+    zero-masked values are exact (adding zeros is error-free)."""
     if tab.dfg_idx is None:
         return xh, xl
     C = xh.shape[0]
@@ -511,12 +545,12 @@ def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
     for j in range(1, K):
         sh, e = df.two_sum(sh, vh[..., j])
         sl_ = sl_ + e + vl[..., j]
-    sh, sl_ = df.fast_two_sum(sh, sl_)  # (C, nseg)
+    sh, sl_ = df.two_sum(sh, sl_)  # (C, nseg)
     bh = jnp.broadcast_to(sh[:, :, None], (C,) + wf.shape)
     bl = jnp.broadcast_to(sl_[:, :, None], (C,) + wf.shape)
     outh = jnp.pad(xfh, ((0, 0), (0, 1))).at[:, wf].set(bh)[:, :-1]
     outl = jnp.pad(xfl, ((0, 0), (0, 1))).at[:, wf].set(bl)[:, :-1]
-    return outh.reshape(xh.shape), outl.reshape(xl.shape)
+    return df.barrier_pair(outh.reshape(xh.shape), outl.reshape(xl.shape))
 
 
 def owner_dot(

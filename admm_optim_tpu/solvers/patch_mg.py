@@ -51,7 +51,7 @@ class PatchMGStructure:
 class PatchMGData:
     """Device data per level (a pytree, jit-friendly)."""
 
-    W: list  # per level: (C, C, O, *lat, P) baked stencils
+    W: list  # per level: (O, C, C, *lat, P) slot-major baked stencils
     inv_diag: list  # per level: (C, *lat, P) consistent 1/diag (1 at fixed)
     lmax: list  # per level scalar
     base_inv: Any  # dense inverse of the level-0 global operator (C*V0 sq)
@@ -299,8 +299,10 @@ def residual_df(struct: PatchMGStructure, data: PatchMGData, b, xh, xl):
     yh, yl = st.apply_w_df(ps, data.W[ps.k], xh, xl)
     yh, yl = st.exchange_sum_df(tab, yh, yl, spmd=struct.spmd)
     free = tab.free[None].astype(xh.dtype)
-    rh, rl = df.two_sum(b * free, -yh * free)
-    return df.fast_two_sum(rh, rl - yl * free)
+    # cancellation-safe DF subtraction: b - Ax cancels by construction, so
+    # the hi part can fall below the lo magnitude (df.add handles it)
+    r = df.add(df.from_f(b * free), df.DF(-yh * free, -yl * free))
+    return r.hi, r.lo
 
 
 class IRResult(NamedTuple):
