@@ -61,18 +61,22 @@ def two_sum(a, b):
     expression, XLA may contract it into `a + b` as an FMA (one rounding)
     while the compensation terms see the separately-rounded product - the
     returned pair is then internally inconsistent (measured: hi off by
-    2 ulp with matching lo, corrupting iterative refinement)."""
+    2 ulp with matching lo, corrupting iterative refinement).  The
+    intermediates need no barriers: XLA does not fold the EFT identities
+    themselves (verified by tests/test_df.py's f64 cross-checks under
+    jit), and per-intermediate barriers fragmented the fused residual into
+    per-kernel-overhead-dominated pieces (9x slower)."""
     a, b = _ob((a, b))
     s = a + b
-    bb = _ob(s - a)
-    e = (a - _ob(s - bb)) + (b - bb)
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
     return s, e
 
 
 def fast_two_sum(a, b):
     """Error-free sum assuming |a| >= |b| (Dekker, 3 flops)."""
     a, b = _ob((a, b))
-    s = _ob(a + b)
+    s = a + b
     e = b - (s - a)
     return s, e
 
@@ -84,7 +88,7 @@ def _split(a):
     f32, 2^27+1 for f64 (so the same code yields double-double on CPU
     tests)."""
     c = a * _split_const(a.dtype)
-    hi = c - _ob(c - a)
+    hi = c - (c - a)
     return hi, a - hi
 
 
@@ -93,8 +97,9 @@ def _split_const(dtype):
 
 
 def two_prod(a, b):
-    """Error-free product: a * b = p + e exactly (Dekker, 17 flops)."""
-    a, b = _ob((a, b))
+    """Error-free product: a * b = p + e exactly (Dekker, 17 flops).
+    FMA contraction inside the error expression is harmless (fma(ah,bh,-p)
+    IS the exact error), so no internal barriers."""
     p = _ob(a * b)
     ah, al = _split(a)
     bh, bl = _split(b)
