@@ -266,6 +266,10 @@ class LevelTables:
     # mask per (group, member)
     dfg_idx: jnp.ndarray | None = None  # (nseg, K) int32
     dfg_mask: jnp.ndarray | None = None  # (nseg, K) float32
+    # inverse map for the scatter-free write-back: per site/patch slot the
+    # 1-based duplicate-group id (0 = slot not duplicated).  Laid out
+    # (*lat, P) like gid so it shards on the patch axis under spmd.
+    dfg_slot: jnp.ndarray | None = None
     # static
     nseg: int = 0
     corr_nseg: int = 0
@@ -277,7 +281,7 @@ class LevelTables:
             self.owner, self.free, self.face_nbr, self.face_mask,
             self.corr_idx, self.corr_group_oh, self.corr_slab_oh,
             self.corr_keep, self.bslots, self.bseg, self.gid,
-            self.dfg_idx, self.dfg_mask,
+            self.dfg_idx, self.dfg_mask, self.dfg_slot,
         )
         return children, (self.nseg, self.corr_nseg, self.use_slab, self.P_total)
 
@@ -287,9 +291,11 @@ class LevelTables:
 
 
 def _df_group_tables(lvl: PatchLevel):
-    """(nseg, K) padded duplicate-group slot table for exchange_sum_df."""
+    """(nseg, K) padded duplicate-group slot table for exchange_sum_df, plus
+    the inverse (*lat, P) per-slot 1-based group-id map for its scatter-free
+    write-back (0 = not duplicated)."""
     if lvl.nseg == 0:
-        return None, None
+        return None, None, None
     order = np.argsort(lvl.bseg, kind="stable")
     slots_s = lvl.bslots[order]
     segs_s = lvl.bseg[order]
@@ -301,12 +307,15 @@ def _df_group_tables(lvl: PatchLevel):
     mask = np.zeros((lvl.nseg, K), np.float32)
     idx[segs_s, rank] = slots_s
     mask[segs_s, rank] = 1.0
-    return idx, mask
+    slot_group = np.zeros(int(np.prod(lvl.lat_shape)) * lvl.P, np.int32)
+    slot_group[lvl.bslots] = lvl.bseg + 1
+    slot_group = slot_group.reshape(lvl.lat_shape + (lvl.P,))
+    return idx, mask, slot_group
 
 
 def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
     slab = lvl.use_slab
-    dfg_idx, dfg_mask = _df_group_tables(lvl)
+    dfg_idx, dfg_mask, dfg_slot = _df_group_tables(lvl)
     return LevelTables(
         owner=jnp.asarray(lvl.owner, dtype),
         free=jnp.asarray(lvl.free, dtype),
@@ -335,6 +344,7 @@ def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
         gid=jnp.moveaxis(jnp.asarray(lvl.gid), 0, -1),
         dfg_idx=None if dfg_idx is None else jnp.asarray(dfg_idx, jnp.int32),
         dfg_mask=None if dfg_mask is None else jnp.asarray(dfg_mask, dtype),
+        dfg_slot=None if dfg_slot is None else jnp.asarray(dfg_slot, jnp.int32),
         nseg=lvl.nseg,
         corr_nseg=lvl.corr_nseg,
         use_slab=slab,
@@ -522,12 +532,10 @@ def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
     C = xh.shape[0]
     xfh = xh.reshape(C, -1)
     xfl = xl.reshape(C, -1)
-    S_loc = xfh.shape[1]
     if spmd is None:
         m = tab.dfg_mask.astype(xh.dtype)
         vh = xfh[:, tab.dfg_idx] * m
         vl = xfl[:, tab.dfg_idx] * m
-        wf = jnp.where(tab.dfg_mask > 0, tab.dfg_idx, S_loc)
     else:
         Pl = xh.shape[-1]
         P = tab.P_total
@@ -539,17 +547,24 @@ def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
         m = tab.dfg_mask.astype(xh.dtype) * local.astype(xh.dtype)
         vh = jax.lax.psum(xfh[:, loc_flat] * m, spmd.axis)
         vl = jax.lax.psum(xfl[:, loc_flat] * m, spmd.axis)
-        wf = jnp.where((tab.dfg_mask > 0) & local, loc_flat, S_loc)
     K = vh.shape[-1]
     sh, sl_ = vh[..., 0], vl[..., 0]
     for j in range(1, K):
         sh, e = df.two_sum(sh, vh[..., j])
         sl_ = sl_ + e + vl[..., j]
     sh, sl_ = df.two_sum(sh, sl_)  # (C, nseg)
-    bh = jnp.broadcast_to(sh[:, :, None], (C,) + wf.shape)
-    bl = jnp.broadcast_to(sl_[:, :, None], (C,) + wf.shape)
-    outh = jnp.pad(xfh, ((0, 0), (0, 1))).at[:, wf].set(bh)[:, :-1]
-    outl = jnp.pad(xfl, ((0, 0), (0, 1))).at[:, wf].set(bl)[:, :-1]
+    # scatter-free write-back: gather each slot's group value through the
+    # inverse (*lat, P[_local]) 1-based group map (dynamic scatters into
+    # large arrays cost ~5 ms on v5e regardless of index count; this is one
+    # gather + select).  dfg_slot shards like the field itself, so the spmd
+    # path needs no index translation.
+    gidx = tab.dfg_slot.reshape(-1)  # (S_loc,)
+    pad = jnp.zeros((C, 1), xh.dtype)
+    gh = jnp.concatenate([pad, sh], axis=1)[:, gidx]  # (C, S_loc)
+    gl = jnp.concatenate([pad, sl_], axis=1)[:, gidx]
+    dup = (gidx > 0)[None]
+    outh = jnp.where(dup, gh, xfh)
+    outl = jnp.where(dup, gl, xfl)
     return df.barrier_pair(outh.reshape(xh.shape), outl.reshape(xl.shape))
 
 

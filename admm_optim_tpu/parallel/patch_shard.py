@@ -105,6 +105,7 @@ class ShardedPatchMG:
             gid=shard,
             dfg_idx=rep if lvl.nseg else None,
             dfg_mask=rep if lvl.nseg else None,
+            dfg_slot=shard if lvl.nseg else None,
             nseg=lvl.nseg,
             corr_nseg=lvl.corr_nseg,
             use_slab=lvl.use_slab,
