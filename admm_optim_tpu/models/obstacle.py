@@ -160,15 +160,50 @@ class ObstacleShapeOpt:
             () if cfg.do_nothing else ("outlet",)
         )
         if cfg.vorder == 2:
-            ext = Hierarchy(hier.levels + [refine(lvl)])
-            self.pre_space = P1VectorSpace.build(ext, dirichlet=ns_dir)
+            pre_hier = Hierarchy(hier.levels + [refine(lvl)])
         else:
-            self.pre_space = P1VectorSpace.build(hier, dirichlet=ns_dir)
+            pre_hier = hier
+        self.pre_space = P1VectorSpace.build(pre_hier, dirichlet=ns_dir)
         # jacobi smoothing: the convection-diffusion operator is nonsymmetric
         self.pre_struct = dataclasses.replace(
             self.pre_space.mg_structure(pre_smooth=2, post_smooth=2),
             smoother="jacobi",
         )
+        # NS velocity-block preconditioner on the patch (stencil) backend
+        # when brick metadata is available: gather-free V-cycles, ~11x
+        # cheaper per application than the block-ELL SpMV at 3D scale
+        self.use_patch_ns = (
+            cfg.backend in ("auto", "patch")
+            and hier.levels[0].bricks is not None
+        )
+        if self.use_patch_ns:
+            from ..core.patches import build_patchset as _bps
+            from ..ops import sparsity as _sp_ns
+            from ..ops.convdiff import convdiff_elem_mats as _cd_mats
+            from ..solvers import patch_mg as _pmg_ns
+
+            self.pre_ps = _bps(pre_hier, dirichlet=ns_dir)
+            self._pre_struct_p = _pmg_ns.PatchMGStructure(
+                self.pre_ps, pre_smooth=2, post_smooth=2, smoother="jacobi"
+            )
+            self._pre_tabs_p = _pmg_ns.make_level_tables(
+                self.pre_ps, jnp.asarray(lvl.coords).dtype
+            )
+            _pre_pat0 = self.pre_space.patterns[0]
+            _pre_fixed0 = np.asarray(self.pre_space.fixed[0])
+            _pre_elems0 = jnp.asarray(pre_hier.levels[0].elems)
+            _d = cfg.dim
+
+            def _pre_base_dense(arg):  # (V0, 2d) stacked [coords | velocity]
+                c0, w0 = arg[:, :_d], arg[:, _d:].T
+                em = _cd_mats(c0, _pre_elems0, w0, cfg.visc)
+                v0 = _sp_ns.assemble_values(_pre_pat0, em)
+                v0 = _sp_ns.bake_dirichlet(
+                    _pre_pat0, v0, jnp.asarray(_pre_fixed0)
+                )
+                return jnp.linalg.inv(_sp_ns.to_dense(_pre_pat0, v0))
+
+            self._pre_base_dense = _pre_base_dense
         self.obstacle_vmask = jnp.asarray(
             lvl.subset_vertices["obstacle_surface"]
         ).astype(jnp.asarray(lvl.coords).dtype)
@@ -229,6 +264,50 @@ class ObstacleShapeOpt:
                 self.struct, X, a.c_eps, a.tau, a.c_mass
             )
         p2iso = cfg.vorder == 2
+        # velocity-block data/action, backend-selected (patch vs block-ELL)
+        if self.use_patch_ns:
+            _parents_fine = (
+                jnp.asarray(self.pre_space.parents[-1]) if p2iso else None
+            )
+
+            def _vel_pre_raw(X, s, adjoint):
+                return ns_solver.ns_gmg_precond_data_patch(
+                    self.ns_space, self.pre_ps, self._pre_struct_p,
+                    self._pre_tabs_p, self._pre_base_dense, _parents_fine,
+                    X, cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                )
+
+            def _zero_s(X):
+                return self.ns_space.pack(
+                    jnp.zeros((cfg.dim, self.ns_space.n_vel), X.dtype),
+                    jnp.zeros((self.ns_space.n_vertices,), X.dtype),
+                )
+
+            _vel_jit = {
+                False: jax.jit(lambda X, s: _vel_pre_raw(X, s, False)),
+                True: jax.jit(lambda X, s: _vel_pre_raw(X, s, True)),
+            }
+
+            def _vel_pre(X, s=None, adjoint=False):
+                return _vel_jit[bool(adjoint)](
+                    X, _zero_s(X) if s is None else s
+                )
+
+            def _vel_M(pre_data):
+                return ns_solver.patch_velocity_M(
+                    self.pre_ps, self._pre_struct_p, pre_data
+                )
+        else:
+
+            def _vel_pre(X, s=None, adjoint=False):
+                return ns_solver.ns_gmg_precond_data(
+                    self.ns_space, self.pre_space, self.pre_struct, X,
+                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                )
+
+            def _vel_M(pre_data):
+                return None  # ns_gmg_M/ns_pcd_M fall back to the ELL V-cycle
+
         if cfg.pressure_precond == "pcd":
             # PCD Schur approximation (viscosity-robust pressure block;
             # ns_solver.ns_pcd_precond_data)
@@ -237,10 +316,7 @@ class ObstacleShapeOpt:
             )
 
             def _ns_pre(X, s=None, adjoint=False):
-                pre_data, _ = ns_solver.ns_gmg_precond_data(
-                    self.ns_space, self.pre_space, self.pre_struct, X,
-                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
-                )
+                pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint)
                 pcd = ns_solver.ns_pcd_precond_data(
                     self.ns_space, self.p_space, self.p_struct, X, cfg.visc,
                     s=s, adjoint=adjoint,
@@ -252,18 +328,17 @@ class ObstacleShapeOpt:
                     self.ns_space, self.pre_struct, pre_data, self.p_space,
                     self.p_struct, ap_data, fp_vals, mp,
                     coords=X, visc=cfg.visc, stab=cfg.stab,
+                    vel_M=_vel_M(pre_data),
                 )(r)
         else:
 
             def _ns_pre(X, s=None, adjoint=False):
-                return ns_solver.ns_gmg_precond_data(
-                    self.ns_space, self.pre_space, self.pre_struct, X,
-                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
-                )
+                return _vel_pre(X, s=s, adjoint=adjoint)
 
             def _M_fn(r, pre_data, pdiag):
                 return ns_solver.ns_gmg_M(
-                    self.ns_space, self.pre_struct, pre_data, pdiag
+                    self.ns_space, self.pre_struct, pre_data, pdiag,
+                    vel_M=_vel_M(pre_data),
                 )(r)
 
         self._ns_pre = _ns_pre

@@ -21,7 +21,35 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .geometry import elem_geometry, p1_phys_grads
+from .geometry import corner_geometry, elem_geometry, p1_phys_grads
+
+
+def convdiff_corner_mats(cw, visc, art_diff=True, ncomp=None):
+    """Like convdiff_elem_mats but from explicit corner data for the
+    brick-patch stencil assembly (ops.patchstencil.assemble_w).
+
+    cw: (2d, nl, ...) stacked per-corner positions (rows :d) and advecting
+    velocity values (rows d:) - the patch assembly slices all channels of
+    its lattice array identically, so geometry and the frozen velocity
+    travel together."""
+    d = cw.shape[0] // 2
+    x, w = cw[:d], cw[d:]
+    C = d if ncomp is None else ncomp
+    nl = d + 1
+    _, _, Jinv, vol = corner_geometry(x)
+    g = p1_phys_grads(Jinv)  # (nl, d, ...)
+    mfac = ((jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))).astype(cw.dtype)
+    wbar = jnp.einsum("ik,dk...->di...", mfac, w)
+    Cmat = jnp.einsum("jd...,di...,...->ij...", g, wbar, vol)
+    eyeC = jnp.eye(C, dtype=cw.dtype)
+    if art_diff:
+        h = vol ** (1.0 / d)
+        wmag = jnp.sqrt(jnp.sum(w.mean(axis=1) ** 2, axis=0))
+        nu_eff = visc + 0.5 * wmag * h
+        K = jnp.einsum("ia...,ja...,...->ij...", g, g, vol * nu_eff)
+        return jnp.einsum("cd,ij...->cdij...", eyeC, K + Cmat)
+    K = jnp.einsum("ia...,ja...->ij...", g, g) * vol
+    return jnp.einsum("cd,ij...->cdij...", eyeC, visc * K + Cmat)
 
 
 def convdiff_elem_mats(coords, elems, w, visc, art_diff=True, ncomp=None):

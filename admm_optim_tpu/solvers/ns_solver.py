@@ -291,6 +291,65 @@ def ns_gmg_precond_data(
     return pre_data, pdiag
 
 
+def ns_gmg_precond_data_patch(
+    ns_space, pre_ps, pre_struct_p, pre_tabs, base_dense_fn, parents_fine,
+    coords, visc, s=None, p2_iso=True, adjoint=False,
+):
+    """Patch-backend (brick-lattice stencil) variant of ns_gmg_precond_data:
+    the velocity-block convection-diffusion hierarchy assembles and smooths
+    gather-free (ops.patchstencil), ~11x cheaper per operator application
+    than the block-ELL SpMV at 3D scale.
+
+    pre_ps/pre_struct_p/pre_tabs: PatchSet (over the once-refined hierarchy
+    for P2 velocities), PatchMGStructure(smoother="jacobi"), level tables.
+    base_dense_fn receives the (V0, 2d) stacked [coords | velocity] level-0
+    data (the patch assembly carries geometry and the frozen advecting field
+    through the same lattice array).
+    """
+    from ..ops import patchstencil as pst
+    from ..ops.convdiff import convdiff_corner_mats
+    from . import patch_mg as pmg
+
+    if p2_iso:
+        Xf = 0.5 * (coords[parents_fine[:, 0]] + coords[parents_fine[:, 1]])
+    else:
+        Xf = coords
+    d = coords.shape[1]
+    if s is None:
+        w = jnp.zeros_like(Xf.T)
+    else:
+        w, _ = ns_space.unpack(s)
+        w = -w if adjoint else w
+    cw = jnp.concatenate([Xf.T, w], axis=0)  # (2d, V_fine)
+    cw_p = pst.to_patch(pre_ps.fine, cw)
+    pre_data = pmg.assemble_patch_mg_p(
+        pre_ps, pre_struct_p, cw_p,
+        lambda c: convdiff_corner_mats(c, visc),
+        base_dense_fn, pre_tabs,
+    )
+    pdiag = nsops.pressure_mass_lumped(ns_space, coords, visc)
+    return pre_data, pdiag
+
+
+def patch_velocity_M(pre_ps, pre_struct_p, pre_data):
+    """Velocity-block action zv = V-cycle(rv) on the patch backend; global
+    (d, n_vel) in/out.  Fixed (Dirichlet) dofs pass through untouched,
+    matching the identity rows the ELL bake_dirichlet gives mg.vcycle."""
+    from ..ops import patchstencil as pst
+    from . import patch_mg as pmg
+
+    tab = pre_data.tabs[pre_ps.k]
+
+    def zv_fn(rv):
+        free = tab.free[None].astype(rv.dtype)
+        b_p = pst.to_patch(pre_ps.fine, rv)
+        z_p = pmg.vcycle_p(pre_struct_p, pre_data, b_p * free)
+        z_p = z_p + b_p * (1.0 - free)
+        return pst.from_patch(pre_ps.fine, z_p, rv.shape[1], mode="owner")
+
+    return zv_fn
+
+
 def ns_pcd_spaces(hier, do_nothing: bool = True):
     """Build the scalar pressure-space wiring for the PCD preconditioner.
 
@@ -370,7 +429,7 @@ def ns_pcd_precond_data(
 
 
 def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
-             fp_vals, mp, coords=None, visc=None, stab=0.0):
+             fp_vals, mp, coords=None, visc=None, stab=0.0, vel_M=None):
     """Block-TRIANGULAR NS preconditioner with a PCD Schur approximation.
 
     z_p = Mp^-1 Fp Ap^-1 r_p          (one scalar V-cycle for Ap^-1)
@@ -406,22 +465,29 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
             )
             bt_zp, _ = ns_space.unpack(r_zp - r_zero)
             rv = rv - bt_zp
-        zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
+        if vel_M is not None:
+            zv = vel_M(rv)
+        else:
+            zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
         return ns_space.pack(zv, zp)
 
     return M
 
 
-def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag):
+def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None):
     """Block preconditioner closure: velocity ~ one V-cycle on the
     nu-weighted vector Laplacian (on the once-refined P1 space), pressure ~
     lumped mass / nu.  Replaces the reference's GMG+ComponentGaussSeidel NS
-    preconditioner (obstacle_optim_util.lua:46-102)."""
+    preconditioner (obstacle_optim_util.lua:46-102).  vel_M overrides the
+    velocity-block action (patch_velocity_M for the stencil backend)."""
     from ..solvers import mg as mgmod
 
     def M(r):
         rv, rp = ns_space.unpack(r)  # rv (d, n_vel) == P1 field on L+1
-        zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
+        if vel_M is not None:
+            zv = vel_M(rv)
+        else:
+            zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
         return ns_space.pack(zv, rp / pdiag)
 
     return M

@@ -33,6 +33,10 @@ class PatchMGStructure:
     pre_smooth: int = 3
     post_smooth: int = 3
     cheb_lower: float = 0.25
+    # "chebyshev" (SPD operators) | "jacobi" (nonsymmetric, e.g. the NS
+    # convection-diffusion preconditioner operators - Chebyshev assumes a
+    # real spectrum; mirrors solvers.mg.MGStructure.smoother)
+    smoother: str = "chebyshev"
     # set (parallel.patch_shard) to run the whole cycle inside shard_map
     # with the patch axis sharded: exchanges become halo all-gathers, dots
     # become psums, the base solve psum-gathers to a replicated dense solve
@@ -214,6 +218,19 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=Non
     return x
 
 
+def jacobi_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, omega=0.7, spmd=None):
+    """Damped Jacobi on patch arrays (see solvers.mg.jacobi_smooth): safe for
+    nonsymmetric operators; damping scaled by the power-iteration bound."""
+    free = tab.free[None].astype(x.dtype)
+    scale = omega / jnp.maximum(lmax, 1e-30)
+
+    def body(i, x):
+        r = (b - _apply(ps, tab, W, x, spmd)) * free
+        return x + scale * (inv_diag * r)
+
+    return jax.lax.fori_loop(0, degree, body, x)
+
+
 def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
     """One V(pre,post)-cycle; b, x (C, *latf, P) consistent, free-masked.
 
@@ -227,6 +244,15 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
 
     spmd = struct.spmd
     RB = struct.replicate_below if spmd is not None else 0
+
+    if struct.smoother == "jacobi":
+        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp: jacobi_smooth_p(
+            ps_, tab, W, invd, lm, x, b, deg, spmd=sp
+        )
+    else:
+        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp: chebyshev_smooth_p(
+            ps_, tab, W, invd, lm, x, b, deg, struct.cheb_lower, sp
+        )
 
     def solve_level(l, b_l, x_l):
         # b_l, x_l are FULL patch arrays when l < RB, local shards otherwise
@@ -243,9 +269,9 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
             bg = st.from_patch_tab(tab, b_l, V0, mode="owner", spmd=lvl_spmd)
             xg = (data.base_inv @ bg.reshape(-1)).reshape(C, V0)
             return st.to_patch_tab(tab, xg)
-        x_l = chebyshev_smooth_p(
+        x_l = smooth(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.pre_smooth, struct.cheb_lower, lvl_spmd,
+            x_l, b_l, struct.pre_smooth, lvl_spmd,
         )
         # restriction acts on the ADDITIVE residual (UG4 storage-type rule:
         # defects are additive, 2d_admm.lua:958): owner-weighted b minus the
@@ -269,9 +295,9 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
             off = st._shard_offset(tab, Pl, spmd)
             ec = jax.lax.dynamic_slice_in_dim(ec, off, Pl, axis=ec.ndim - 1)
         x_l = x_l + st.prolong_p(ps, l - 1, ec) * tab.free[None].astype(x_l.dtype)
-        x_l = chebyshev_smooth_p(
+        x_l = smooth(
             ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.post_smooth, struct.cheb_lower, lvl_spmd,
+            x_l, b_l, struct.post_smooth, lvl_spmd,
         )
         return x_l
 
