@@ -61,13 +61,14 @@ class PatchLevel:
     face_nbr: np.ndarray | None = None  # (dim, 2, P) int32; [:,0]=minus
     face_mask: np.ndarray | None = None  # (dim, 2, P) float32
     # scatter-free correction (dynamic scatters into large arrays cost ~5 ms
-    # on v5e regardless of index count; one-hot matmuls + static slab writes
-    # do not): gather corr values multi-dim, group-sum and distribute onto
-    # face slabs via tiny one-hot matmuls
+    # on v5e regardless of index count): gather corr values multi-dim,
+    # group-sum via a tiny one-hot matmul, and write back through per-face
+    # inverse maps - 1-based group id per slab slot, 0 = keep.  (An earlier
+    # (G, prod(slab)*P) one-hot-matmul write-back was O(G*slab) memory:
+    # 2.1 GB at 3D refs=5; the gather maps are O(slab).)
     corr_idx: tuple | None = None  # dim+1 int32 arrays (Bc,): lattice + patch
     corr_group_oh: np.ndarray | None = None  # (Bc, G) f32 one-hot group sum
-    corr_slab_oh: list | None = None  # per face: (G, prod(slab)*P) f32
-    corr_keep: list | None = None  # per face: (*slab, P) f32 0 at corr slots
+    corr_slot: list | None = None  # per face: (*slab, P) int32 1-based gid
     corr_nseg: int = 0
     use_slab: bool = False
 
@@ -158,7 +159,7 @@ def _slab_exchange_tables(dim, gid, bslots, bseg, nseg):
                 idx_q = [slice(None)] * dim
                 idx_q[a] = lat[a] - 1 if side == 0 else 0
                 if not np.array_equal(gid[p][tuple(idx_p)], gid[q][tuple(idx_q)]):
-                    return (None,) * 6 + (0, False)
+                    return (None,) * 5 + (0, False)
 
     def sweep(y):
         yc = y.copy()
@@ -202,7 +203,7 @@ def _slab_exchange_tables(dim, gid, bslots, bseg, nseg):
     corr_idx = tuple(a.astype(np.int32) for a in mi) + (pch,)
     group_oh = np.zeros((Bc, G), np.float32)
     group_oh[np.arange(Bc), corr_seg] = 1.0
-    slab_oh, keep = [], []
+    slot_maps = []
     for f in range(2 * dim):
         a, sd = f // 2, f % 2
         onface = mi[a] == (0 if sd == 0 else lat[a] - 1)
@@ -212,19 +213,15 @@ def _slab_exchange_tables(dim, gid, bslots, bseg, nseg):
         for b, r in enumerate(rest[1:], start=1):
             flat = flat * slab_shape[b] + r
         flat = flat * P + pch
-        oh = np.zeros((G, int(np.prod(slab_shape))), np.float32)
-        oh[corr_seg[onface], flat[onface]] = 1.0
-        slab_oh.append(oh)
-        k = np.ones(int(np.prod(slab_shape)), np.float32)
-        k[flat[onface]] = 0.0
-        keep.append(k.reshape(slab_shape))
+        sm = np.zeros(int(np.prod(slab_shape)), np.int32)
+        sm[flat[onface]] = corr_seg[onface] + 1
+        slot_maps.append(sm.reshape(slab_shape))
     return (
         face_nbr,
         face_mask,
         corr_idx,
         group_oh,
-        slab_oh,
-        keep,
+        slot_maps,
         G,
         True,
     )
@@ -263,23 +260,16 @@ def pad_patch_level(lvl: PatchLevel, P_pad: int) -> PatchLevel:
         kw["corr_idx"] = lvl.corr_idx
         kw["corr_group_oh"] = lvl.corr_group_oh
         if lvl.corr_nseg:
-            slab_oh, keep = [], []
+            slot_maps = []
             for f in range(2 * dim):
                 a = f // 2
                 slab_lat = tuple(lat[b] for b in range(dim) if b != a)
-                G = lvl.corr_slab_oh[f].shape[0]
-                oh = lvl.corr_slab_oh[f].reshape((G,) + slab_lat + (P,))
-                oh = np.concatenate(
-                    [oh, np.zeros((G,) + slab_lat + (pad,), oh.dtype)], axis=-1
-                )
-                slab_oh.append(oh.reshape(G, -1))
-                k = np.concatenate(
-                    [lvl.corr_keep[f], np.ones(slab_lat + (pad,), np.float32)],
+                sm = np.concatenate(
+                    [lvl.corr_slot[f], np.zeros(slab_lat + (pad,), np.int32)],
                     axis=-1,
                 )
-                keep.append(k)
-            kw["corr_slab_oh"] = slab_oh
-            kw["corr_keep"] = keep
+                slot_maps.append(sm)
+            kw["corr_slot"] = slot_maps
     return PatchLevel(
         m=lvl.m,
         gid=gid,
@@ -443,8 +433,8 @@ def build_patchset(hier: Hierarchy, dirichlet=("inlet", "wall", "outlet")) -> Pa
         free = (~fixed_mask_by_level[l][g_sp]).astype(np.float32)
         free = free.reshape(S, P).reshape(lat_shape + (P,))
         (
-            face_nbr, face_mask, corr_idx, corr_group_oh, corr_slab_oh,
-            corr_keep, corr_nseg, use_slab,
+            face_nbr, face_mask, corr_idx, corr_group_oh, corr_slot,
+            corr_nseg, use_slab,
         ) = _slab_exchange_tables(dim, g, bslots, bseg, len(dup_uniq))
         levels.append(
             PatchLevel(
@@ -459,8 +449,7 @@ def build_patchset(hier: Hierarchy, dirichlet=("inlet", "wall", "outlet")) -> Pa
                 face_mask=face_mask,
                 corr_idx=corr_idx,
                 corr_group_oh=corr_group_oh,
-                corr_slab_oh=corr_slab_oh,
-                corr_keep=corr_keep,
+                corr_slot=corr_slot,
                 corr_nseg=corr_nseg,
                 use_slab=use_slab,
             )

@@ -231,7 +231,7 @@ class ObstacleShapeOpt:
             from ..core.patches import build_patchset
             from ..ops import patchstencil as pst
             from ..ops import sparsity as _sp
-            from ..ops.deformation import deformation_corner_mats
+            from ..ops.deformation import deformation_corner_block_fn
             from ..solvers import patch_mg as _pmg
 
             self.patchset = build_patchset(hier, dirichlet=("inlet", "wall", "outlet"))
@@ -252,8 +252,8 @@ class ObstacleShapeOpt:
             _assemble_p = jax.jit(
                 lambda X, tabs: _pmg.assemble_patch_mg(
                     self.patchset, self._pmg_struct, X,
-                    lambda x: deformation_corner_mats(x, a.c_eps, a.tau, a.c_mass),
-                    _base_dense_fn, tabs=tabs,
+                    deformation_corner_block_fn(a.c_eps, a.tau, a.c_mass),
+                    _base_dense_fn, tabs=tabs, sym=True,
                 )
             )
             self._assemble = lambda X: _assemble_p(X, self._pmg_tabs)

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .geometry import elem_geometry, gather_elem, p1_phys_grads, sdet
 
@@ -58,6 +59,45 @@ def deformation_corner_mats(x, c_eps, c_grad, c_mass):
     mfac = (jnp.ones((nl, nl)) + jnp.eye(nl)) / ((d + 1) * (d + 2))
     A = A + c_mass * jnp.einsum("cd,ij,...->cdij...", eyeC, mfac.astype(x.dtype), vol)
     return A
+
+
+def deformation_corner_block_fn(c_eps, c_grad, c_mass):
+    """Block-protocol variant of deformation_corner_mats for the patch
+    assembly (ops.patchstencil.assemble_w): returns fn(corners) -> blk with
+    blk(a, b) = A[:, :, a, b] (C, C, *cells, P) computed on demand from the
+    shared basis gradients.
+
+    Identical arithmetic to deformation_corner_mats, but never materializes
+    the (C, C, nl, nl, *cells, P) tensor or its (nl*nl*C*C)-unit einsum
+    temporaries: each local-dof block is pure elementwise work XLA fuses
+    into the stencil-slot accumulation.  At 3D refs=5 (m=32, P=224) the
+    dense-tensor path needs ~29 GB of assembly temporaries even chunked;
+    this path assembles unchunked in O(nl*d) units (~0.6 GB)."""
+    from .geometry import corner_geometry
+
+    def fn(x):
+        d = x.shape[0]
+        nl = d + 1
+        _, _, Jinv, vol = corner_geometry(x)
+        g = p1_phys_grads(Jinv)  # (nl, d, ...)
+        mfac = (np.ones((nl, nl)) + np.eye(nl)) / ((d + 1) * (d + 2))
+
+        def blk(a, b):
+            K_ab = sum(g[a, r] * g[b, r] for r in range(d)) * vol
+            diag = (c_grad + 0.5 * c_eps) * K_ab + (c_mass * float(mfac[a, b])) * vol
+            rows = []
+            for c in range(d):
+                row = []
+                for dd in range(d):
+                    t = (0.5 * c_eps) * (g[a, dd] * g[b, c] * vol)
+                    row.append(t + diag if c == dd else t)
+                rows.append(jnp.stack(row))
+            return jnp.stack(rows)
+
+        return blk
+
+    fn.block_protocol = True
+    return fn
 
 
 def deformation_elem_mats(coords, elems, c_eps, c_grad, c_mass):

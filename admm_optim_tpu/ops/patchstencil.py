@@ -66,12 +66,33 @@ def shift_read(x, o, lat_axes_offset=0):
 # assembly
 # ---------------------------------------------------------------------------
 
-def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
+def half_slots(ps: PatchSet) -> list:
+    """Slot indices of the symmetric half-stencil: one of each {o, -o} pair
+    (center first).  For a SYMMETRIC operator W[-o] = W[o]^T (componentwise
+    transpose at the shifted site), so only these slots need storing:
+    8 of 15 in 3D, 4 of 7 in 2D - halving both stencil HBM footprint and
+    the apply's W traffic (the hot-loop bandwidth bound)."""
+    kept = []
+    for oi, o in enumerate(ps.stencil):
+        nj = ps.stencil_slot[tuple(int(-v) for v in o)]
+        if oi <= nj:
+            kept.append(oi)
+    return kept
+
+
+def assemble_w(
+    ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn,
+    p_chunk: int | None = None, sym: bool = False, free=None,
+    row_chunk: int | None = None,
+):
     """Assemble the stencil operator on one level.
 
     coords_p: (d, *lat, P) lattice coordinates for that level.
     corner_mat_fn: corners (d, nl, *cells, P) -> (C, C, nl, nl, *cells, P)
-    element matrices (e.g. ops.deformation.deformation_corner_mats).
+    element matrices (e.g. ops.deformation.deformation_corner_mats), OR the
+    block protocol: corners -> blk with blk(a, b) = (C, C, *cells, P)
+    (e.g. deformation_corner_block_fn) so each local-dof block fuses into
+    the slot accumulation without the (nl*nl*C*C)-unit tensor temporary.
 
     Equivalent of assemble_jacobian on AssembledLinearOperator (reference
     2d_admm.lua:331,954) for translation-invariant brick lattices: per
@@ -80,23 +101,117 @@ def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
     difference.  Scatter-free: contributions are zero-PADDED from the cell
     box (m^d) to the site lattice (m+1)^d and summed per slot - XLA fuses
     padded adds; dynamic-update-slice accumulation does not fuse and
-    compiles minutes-slow."""
+    compiles minutes-slow.
+
+    p_chunk: run the assembly lax.map-chunked over blocks of the patch axis
+    so the per-class corner-matrix temporaries stay O(chunk) - at 3D refs=5
+    (m=32, P=224) the unchunked temporaries alone exceed one chip's HBM.
+    Padding patches replicate patch 0 (valid geometry; zero coordinates
+    would put NaNs from the singular Jacobian into the discarded block).
+
+    sym: store only the symmetric half-stencil (half_slots order).  Valid
+    iff the element matrices satisfy A[:, :, a, b] = A[:, :, b, a]^T (any
+    Galerkin discretization of a symmetric bilinear form, e.g. the
+    deformation operator); the skipped slots are recovered in the apply as
+    shifted transposes.
+
+    free: optional (*lat, P) Dirichlet mask; when given, row/col masking is
+    folded into the per-block accumulation (equivalent to a subsequent
+    bake_dirichlet_w, since site masks distribute over the element-sum)
+    so no second W-sized buffer goes live.
+
+    row_chunk: lax.map-chunk the assembly over blocks of the FIRST lattice
+    axis (must divide the cell count).  Unlike p_chunk this carries no
+    lane-padding penalty (lattice axes sit on sublanes), so it is the
+    scaling lever for the block-protocol path: the per-chunk fusion
+    liveness (~1.7 KB/cell measured at 3D refs=5) drops by m/row_chunk.
+    Consecutive chunks share one site-row, stitched by static-slice adds."""
+    if p_chunk is not None and p_chunk < coords_p.shape[-1]:
+        P = coords_p.shape[-1]
+        nb = -(-P // p_chunk)
+        p_chunk = -(-P // nb)  # even blocks, minimal padding
+        pad = nb * p_chunk - P
+
+        def pad_p(x):
+            return (
+                jnp.concatenate([x, x[..., :1].repeat(pad, -1)], -1) if pad else x
+            )
+
+        def chunk_p(x):
+            return jnp.moveaxis(
+                x.reshape(x.shape[:-1] + (nb, p_chunk)), -2, 0
+            )
+
+        cp = chunk_p(pad_p(coords_p))  # (nb, d, *lat, Pc)
+        if free is not None:
+            # padding patches replicate patch 0's geometry but must stay
+            # OUT of the operator: mask them fully fixed
+            fp = jnp.concatenate(
+                [free, jnp.zeros(free.shape[:-1] + (pad,), free.dtype)], -1
+            ) if pad else free
+            fc = chunk_p(fp)  # (nb, *lat, Pc)
+            Wb = jax.lax.map(
+                lambda cf: assemble_w(
+                    ps, level, cf[0], corner_mat_fn, sym=sym, free=cf[1]
+                ),
+                (cp, fc),
+            )
+        else:
+            Wb = jax.lax.map(
+                lambda c: assemble_w(ps, level, c, corner_mat_fn, sym=sym), cp
+            )  # (nb, O, C, C, *lat, Pc)
+        W = jnp.moveaxis(Wb, 0, -2).reshape(Wb.shape[1:-1] + (nb * p_chunk,))
+        return W[..., :P]
     dim = ps.dim
-    lvl = ps.levels[level]
-    m = lvl.m
-    P = lvl.P
-    C = dim
-    O = len(ps.stencil)
-    slot_terms = [[] for _ in range(O)]
+    # per-axis cell counts from the array shape (not lvl.m): the row-chunked
+    # recursion below calls back with first-axis slabs
+    mc = tuple(n - 1 for n in coords_p.shape[1 : 1 + dim])
+    if row_chunk is not None and row_chunk < mc[0]:
+        m0 = mc[0]
+        assert m0 % row_chunk == 0, (m0, row_chunk)
+        nb = m0 // row_chunk
+        rc = row_chunk
+        cb = jnp.stack([coords_p[:, i * rc : i * rc + rc + 1] for i in range(nb)])
+        if free is not None:
+            fb = jnp.stack([free[i * rc : i * rc + rc + 1] for i in range(nb)])
+            Wb = jax.lax.map(
+                lambda cf: assemble_w(
+                    ps, level, cf[0], corner_mat_fn, sym=sym, free=cf[1]
+                ),
+                (cb, fb),
+            )
+        else:
+            Wb = jax.lax.map(
+                lambda c: assemble_w(ps, level, c, corner_mat_fn, sym=sym), cb
+            )  # (nb, O|H, C, C, rc+1, *rest, P)
+        # stitch: consecutive chunks share one site-row; static-slice adds
+        W = jnp.zeros(Wb.shape[1:4] + (m0 + 1,) + Wb.shape[5:], Wb.dtype)
+        for i in range(nb):
+            W = W.at[:, :, :, i * rc : i * rc + rc + 1].add(Wb[i])
+        return W
+    if sym:
+        kpos = {s: i for i, s in enumerate(half_slots(ps))}
+    else:
+        kpos = {i: i for i in range(len(ps.stencil))}
+    slot_terms = [[] for _ in range(len(kpos))]
     for co in ps.class_offsets:  # (nl, dim)
         corners = jnp.stack(
             [
-                coords_p[(slice(None),) + tuple(slice(int(o), int(o) + m) for o in cv)]
+                coords_p[
+                    (slice(None),)
+                    + tuple(slice(int(o), int(o) + mm) for o, mm in zip(cv, mc))
+                ]
                 for cv in co
             ],
             axis=1,
         )  # (d, nl, *m^dim, P)
-        A = corner_mat_fn(corners)  # (C, C, nl, nl, *m^dim, P)
+        A = corner_mat_fn(corners)  # (C, C, nl, nl, *m^dim, P) or blk(a, b)
+        blk = A if callable(A) else (lambda a, b: A[:, :, a, b])
+        if free is not None:
+            fcell = [
+                free[tuple(slice(int(o), int(o) + mm) for o, mm in zip(cv, mc))]
+                for cv in co
+            ]  # per corner: free mask at cell site + offset, (*m^dim, P)
         for a in range(dim + 1):
             pad = (
                 [(0, 0), (0, 0)]
@@ -105,9 +220,14 @@ def assemble_w(ps: PatchSet, level: int, coords_p: jnp.ndarray, corner_mat_fn):
             )
             for b in range(dim + 1):
                 slot = ps.stencil_slot[tuple(int(x) for x in (co[b] - co[a]))]
-                slot_terms[slot].append(jnp.pad(A[:, :, a, b], pad))
+                pos = kpos.get(slot)
+                if pos is not None:
+                    t = blk(a, b)
+                    if free is not None:
+                        t = t * (fcell[a] * fcell[b])[None, None]
+                    slot_terms[pos].append(jnp.pad(t, pad))
     W = jnp.stack([sum(terms[1:], terms[0]) for terms in slot_terms], axis=0)
-    return W  # (O, C, C, *lat, P) slot-major
+    return W  # (O or H, C, C, *lat, P) slot-major
 
 
 def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
@@ -116,9 +236,14 @@ def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
     DirichletBoundary + adjust_solution (2d_admm.lua:240-258)."""
     lvl = ps.levels[level]
     free = jnp.asarray(lvl.free, W.dtype) if free is None else free  # (*lat, P)
+    offs = (
+        ps.stencil
+        if W.shape[0] == len(ps.stencil)
+        else [ps.stencil[i] for i in half_slots(ps)]
+    )
     W = W * free[None, None, None]  # rows
     cols = jnp.stack(
-        [shift_read(free, o) for o in ps.stencil], axis=0
+        [shift_read(free, o) for o in offs], axis=0
     )  # (O, *lat, P): free at s+o
     return W * cols[:, None, None]
 
@@ -140,7 +265,13 @@ def apply_w(ps: PatchSet, W, x):
     an einsum/dot_general: XLA lowers the (o,d)-contraction to per-site
     3x45 MXU matmuls, which at 'highest' f32 precision ran 7.4x slower
     (29.7 vs 4.0 ms at refs=4 on v5e); the per-slot-einsum form was worse
-    still when layout assignment put the slot axis on sublanes."""
+    still when layout assignment put the slot axis on sublanes.
+
+    Symmetric half-stencil W (assemble_w(sym=True), detected by slot
+    count): the missing slots are applied as shifted transposes,
+    y += shift_{-o}(W[o]^T x), so W streams ~half the bytes."""
+    if W.shape[0] != len(ps.stencil):
+        return _apply_w_sym(ps, W, x)
     dim = ps.dim
     lat = x.shape[1 : 1 + dim]
     C = x.shape[0]
@@ -162,6 +293,106 @@ def apply_w(ps: PatchSet, W, x):
     return y.reshape(x.shape)
 
 
+def _apply_w_sym(ps: PatchSet, W, x):
+    """apply_w for symmetric half-stencil storage W (H, C, C, *lat, P).
+
+    Direct halves contract as in apply_w; each missing slot -o contributes
+    y[s] += W[o][:, :, s-o]^T x[s-o], computed as a per-slot transpose
+    contraction z = sum_c W[o][c, :] x[c] followed by a static-slice shift
+    (zero outside - cross-patch couplings ride the duplicated boundary
+    sites + exchange_sum exactly as in the full-stencil form)."""
+    dim = ps.dim
+    lat = x.shape[1 : 1 + dim]
+    C = x.shape[0]
+    kept = half_slots(ps)
+    H = len(kept)
+    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
+    xp = jnp.pad(x, pad)
+    ws = []
+    for h in range(H):
+        o = ps.stencil[kept[h]]
+        sl = (
+            (slice(None),)
+            + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
+            + (slice(None),)
+        )
+        ws.append(xp[sl])
+    xw = jnp.stack(ws, axis=0).reshape(H, C, -1)  # (H, D, S)
+    Wf = W.reshape(H, C, C, -1)  # (H, C, D, S)
+    y = jnp.sum(Wf * xw[:, None], axis=(0, 2)).reshape(x.shape)  # direct
+    for h in range(1, H):
+        o = ps.stencil[kept[h]]
+        z = jnp.sum(W[h] * x[:, None], axis=0)  # (C, *lat, P): W^T x
+        y = y + shift_read(z, [-int(v) for v in o], lat_axes_offset=1)
+    return y
+
+
+# measured per-site DF-apply temp footprint (AOT memory_analysis, 3D refs=5):
+# the barriered EFT chain materializes ~1.8 KB/site that XLA's buffer reuse
+# does not reclaim within one fused region.  Chunk the first lattice axis to
+# keep the live set under ~2.5 GB.
+_DF_TEMP_BYTES_PER_SITE = 1800
+_DF_TEMP_BUDGET = int(2.5 * 2**30)
+
+
+def _df_row_chunk(xh, dim):
+    """Rows per chunk for the DF apply, or None for unchunked."""
+    sites = xh[0].size
+    if sites * _DF_TEMP_BYTES_PER_SITE <= _DF_TEMP_BUDGET:
+        return None
+    n0 = xh.shape[1]
+    row_sites = sites // n0
+    rc = max(1, _DF_TEMP_BUDGET // (_DF_TEMP_BYTES_PER_SITE * row_sites) - 2)
+    return rc if rc < n0 else None
+
+
+def _apply_w_df_rows(ps, W, xh, xl, rc, inner):
+    """Row-chunked DF apply: outputs of first-lattice-axis row blocks are
+    disjoint; each block's stencil reads overlap one row either side, so we
+    zero-pad axis0 once and run ``inner`` on [r0-1, r1+1) extended slabs,
+    keeping the interior rows.  The explicit zero rows reproduce exactly the
+    jnp.pad zero-fill of the unchunked apply, so results are bitwise equal.
+    Chunks are barrier-chained so XLA schedules them sequentially and each
+    chunk's ~1.8 KB/site EFT temporaries die before the next starts (14.2 GB
+    -> O(chunk) at 3D refs=5, the difference between OOM and fitting)."""
+    n0 = xh.shape[1]
+    pad_x = [(0, 0), (1, 1)] + [(0, 0)] * (xh.ndim - 2)
+    xhp = jnp.pad(xh, pad_x)
+    xlp = jnp.pad(xl, pad_x)
+    zrow_w = jnp.zeros(W.shape[:3] + (1,) + W.shape[4:], W.dtype)
+
+    def w_rows(r0, r1):
+        # W rows r0-1 .. r1, zero rows beyond the lattice: a full padded
+        # copy of W would itself be a W-sized (GBs) temporary
+        lo = max(r0 - 1, 0)
+        hi = min(r1 + 1, n0)
+        parts = []
+        if r0 - 1 < 0:
+            parts.append(zrow_w)
+        parts.append(W[:, :, :, lo:hi])
+        if r1 + 1 > n0:
+            parts.append(zrow_w)
+        return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=3)
+
+    ys_h, ys_l = [], []
+    prev = None
+    for r0 in range(0, n0, rc):
+        r1 = min(n0, r0 + rc)
+        ext = slice(r0, r1 + 2)  # rows r0-1 .. r1 in unpadded coords
+        ch, cl = xhp[:, ext], xlp[:, ext]
+        cw = w_rows(r0, r1)
+        if prev is not None:
+            (ch, cl, cw, prev) = jax.lax.optimization_barrier((ch, cl, cw, prev))
+        yh, yl = inner(ps, cw, ch, cl)
+        ys_h.append(yh[:, 1 : 1 + (r1 - r0)])
+        ys_l.append(yl[:, 1 : 1 + (r1 - r0)])
+        prev = yh
+    return (
+        jnp.concatenate(ys_h, axis=1),
+        jnp.concatenate(ys_l, axis=1),
+    )
+
+
 def apply_w_df(ps: PatchSet, W, xh, xl):
     """Double-float operator application: y = A (xh + xl) with error-free
     products (ops.df) and compensated accumulation across all O*C stencil
@@ -169,7 +400,23 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     once-per-refinement residual pass of the mixed-precision solve
     (solvers.patch_mg.cg_ir_p); the TPU substitute for the reference's f64
     defect evaluation at 1e-12 tolerances (obstacle_optim_util.lua:35).
-    ~6x the flops of apply_w, but used outside the Krylov hot loop."""
+    ~6x the flops of apply_w, but used outside the Krylov hot loop.
+    Large lattices run row-chunked (_apply_w_df_rows) to bound the EFT
+    temporary footprint."""
+    rc = _df_row_chunk(xh, ps.dim)
+    if rc is not None:
+        inner = (
+            _apply_w_df_sym
+            if W.shape[0] != len(ps.stencil)
+            else _apply_w_df_full
+        )
+        return _apply_w_df_rows(ps, W, xh, xl, rc, inner)
+    return _apply_w_df_full(ps, W, xh, xl)
+
+
+def _apply_w_df_full(ps: PatchSet, W, xh, xl):
+    if W.shape[0] != len(ps.stencil):
+        return _apply_w_df_sym(ps, W, xh, xl)
     dim = ps.dim
     lat = xh.shape[1 : 1 + dim]
     C = W.shape[1]
@@ -177,24 +424,24 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
     xhp = jnp.pad(xh, pad)
     xlp = jnp.pad(xl, pad)
-    ws_h, ws_l = [], []
-    for oi in range(O):
+
+    def window(oi):
         o = ps.stencil[oi]
         sl = (
             (slice(None),)
             + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
             + (slice(None),)
         )
-        ws_h.append(xhp[sl])
-        ws_l.append(xlp[sl])
-    S = ws_h[0][0].size
-    xwh = jnp.stack(ws_h, axis=0).reshape(O, C, -1)  # (O, D, S)
-    xwl = jnp.stack(ws_l, axis=0).reshape(O, C, -1)
+        return xhp[sl].reshape(C, -1), xlp[sl].reshape(C, -1)
+
+    S = xh[0].size
     Wf = W.reshape(O, C, C, -1)  # (O, C, D, S)
 
-    # unrolled fold over slots on the flattened slot-major arrays: each
-    # step reads one CONTIGUOUS W block and folds its C exact products
-    # into the DF accumulator.  Deliberately NOT a lax.fori_loop: the
+    # unrolled fold over slots: each step reads one CONTIGUOUS W block and
+    # folds its C exact products into the DF accumulator, with the slot
+    # window sliced from the padded input on demand (a stacked (O, C, S)
+    # window array costs 2x ~775 MB at 3D refs=5 - the allocation that
+    # tipped one chip over HBM).  Deliberately NOT a lax.fori_loop: the
     # bitwise-identical body under fori_loop loses the compensation on
     # XLA:CPU (hi parts come back with plain-f32 rounding, lo parts
     # intact - an XLA loop-optimization artifact caught by
@@ -204,13 +451,73 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     acc_l = acc_h
     for oi in range(O):
         w = Wf[oi]  # (C, D, S) static contiguous slice
-        xh_o = xwh[oi]
-        xl_o = xwl[oi]
+        xh_o, xl_o = window(oi)
         for d in range(C):
             p, e = df.two_prod(w[:, d], xh_o[d][None])
             lo = e + w[:, d] * xl_o[d][None]
             acc_h, t = df.two_sum(acc_h, p)
             acc_l = acc_l + t + lo
+    s, e = df.two_sum(acc_h, acc_l)
+    s, e = df.barrier_pair(s, e)
+    return s.reshape(xh.shape), e.reshape(xh.shape)
+
+
+def _apply_w_df_sym(ps: PatchSet, W, xh, xl):
+    """apply_w_df for symmetric half-stencil storage: direct halves as in
+    apply_w_df; each missing slot's contribution is the compensated
+    transpose contraction z = sum_c two_prod(W[o][c, :], x[c]) folded as a
+    DF pair, SHIFTED by -o (static zero-fill slices are error-free), then
+    two_sum-merged into the accumulator."""
+    dim = ps.dim
+    lat = xh.shape[1 : 1 + dim]
+    C = W.shape[1]
+    kept = half_slots(ps)
+    H = len(kept)
+    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
+    xhp = jnp.pad(xh, pad)
+    xlp = jnp.pad(xl, pad)
+
+    def window(h):
+        o = ps.stencil[kept[h]]
+        sl = (
+            (slice(None),)
+            + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
+            + (slice(None),)
+        )
+        return xhp[sl].reshape(C, -1), xlp[sl].reshape(C, -1)
+
+    S = xh[0].size
+    xfh = xh.reshape(C, -1)
+    xfl = xl.reshape(C, -1)
+    Wf = W.reshape(H, C, C, -1)  # (H, C, D, S)
+    lat_shape = (C,) + tuple(lat) + xh.shape[-1:]
+
+    acc_h = jnp.zeros((C, S), xh.dtype)
+    acc_l = acc_h
+    for h in range(H):
+        w = Wf[h]  # (C, D, S)
+        xh_o, xl_o = window(h)
+        # direct half: y[c] += sum_d w[c, d] * x[d, s+o]
+        for d in range(C):
+            p, e = df.two_prod(w[:, d], xh_o[d][None])
+            lo = e + w[:, d] * xl_o[d][None]
+            acc_h, t = df.two_sum(acc_h, p)
+            acc_l = acc_l + t + lo
+        if h == 0:
+            continue
+        # transpose half: z[d, s] = sum_c w[c, d, s] * x[c, s], shifted -o
+        zh = jnp.zeros((C, S), xh.dtype)
+        zl = zh
+        for c in range(C):
+            p, e = df.two_prod(w[c], xfh[c][None])
+            lo = e + w[c] * xfl[c][None]
+            zh, t = df.two_sum(zh, p)
+            zl = zl + t + lo
+        o = [-int(v) for v in ps.stencil[kept[h]]]
+        zh = shift_read(zh.reshape(lat_shape), o, lat_axes_offset=1).reshape(C, S)
+        zl = shift_read(zl.reshape(lat_shape), o, lat_axes_offset=1).reshape(C, S)
+        acc_h, t = df.two_sum(acc_h, zh)
+        acc_l = acc_l + t + zl
     s, e = df.two_sum(acc_h, acc_l)
     s, e = df.barrier_pair(s, e)
     return s.reshape(xh.shape), e.reshape(xh.shape)
@@ -256,8 +563,7 @@ class LevelTables:
     face_mask: jnp.ndarray | None
     corr_idx: tuple | None
     corr_group_oh: jnp.ndarray | None
-    corr_slab_oh: tuple | None
-    corr_keep: tuple | None
+    corr_slot: tuple | None  # per face: (*slab, P) int32 1-based group id
     bslots: jnp.ndarray | None
     bseg: jnp.ndarray | None
     gid: jnp.ndarray | None = None  # (*lat, P) int32 global vertex ids
@@ -279,8 +585,8 @@ class LevelTables:
     def tree_flatten(self):
         children = (
             self.owner, self.free, self.face_nbr, self.face_mask,
-            self.corr_idx, self.corr_group_oh, self.corr_slab_oh,
-            self.corr_keep, self.bslots, self.bseg, self.gid,
+            self.corr_idx, self.corr_group_oh, self.corr_slot,
+            self.bslots, self.bseg, self.gid,
             self.dfg_idx, self.dfg_mask, self.dfg_slot,
         )
         return children, (self.nseg, self.corr_nseg, self.use_slab, self.P_total)
@@ -329,13 +635,8 @@ def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
         corr_group_oh=(
             jnp.asarray(lvl.corr_group_oh, dtype) if slab and lvl.corr_nseg else None
         ),
-        corr_slab_oh=(
-            tuple(jnp.asarray(o, dtype) for o in lvl.corr_slab_oh)
-            if slab and lvl.corr_nseg
-            else None
-        ),
-        corr_keep=(
-            tuple(jnp.asarray(k2, dtype) for k2 in lvl.corr_keep)
+        corr_slot=(
+            tuple(jnp.asarray(sm) for sm in lvl.corr_slot)
             if slab and lvl.corr_nseg
             else None
         ),
@@ -414,16 +715,15 @@ def _exchange_slab(tab: LevelTables, x):
     if tab.corr_nseg:
         vals = x_in[(slice(None),) + tab.corr_idx]
         sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
+        sums0 = jnp.concatenate([jnp.zeros((C, 1), x.dtype), sums], axis=1)
         for f in range(2 * dim):
             a, sd = f // 2, f % 2
             sl = [slice(None)] * (dim + 2)
             sl[1 + a] = 0 if sd == 0 else lat[a] - 1
             sl = tuple(sl)
-            slab_shape = x[sl].shape[1:]
-            dense = (sums @ tab.corr_slab_oh[f].astype(x.dtype)).reshape(
-                (C,) + slab_shape
-            )
-            x = x.at[sl].set(x[sl] * tab.corr_keep[f].astype(x.dtype)[None] + dense)
+            sm = tab.corr_slot[f]  # (*slab, P) int32, 0 = keep
+            dense = sums0[:, sm]  # (C, *slab, P) gather
+            x = x.at[sl].set(jnp.where((sm > 0)[None], dense, x[sl]))
     return x
 
 
@@ -466,20 +766,16 @@ def _exchange_slab_spmd(tab: LevelTables, x, spmd: SpmdCtx):
         vals = x_in[(slice(None),) + lat_idx + (pl_idx,)] * local.astype(x.dtype)
         vals = jax.lax.psum(vals, spmd.axis)  # (C, Bc) replicated
         sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
+        sums0 = jnp.concatenate([jnp.zeros((C, 1), x.dtype), sums], axis=1)
         for f in range(2 * dim):
             a, sd = f // 2, f % 2
             sl = [slice(None)] * (dim + 2)
             sl[1 + a] = 0 if sd == 0 else lat[a] - 1
             sl = tuple(sl)
-            slab_shape_l = x[sl].shape[1:]  # (*rest, Pl)
-            full_shape = slab_shape_l[:-1] + (tab.P_total,)
-            dense = (sums @ tab.corr_slab_oh[f].astype(x.dtype)).reshape(
-                (C,) + full_shape
-            )
-            dense_loc = jax.lax.dynamic_slice_in_dim(dense, off, Pl, axis=dense.ndim - 1)
-            keep = tab.corr_keep[f].astype(x.dtype)
-            keep_loc = jax.lax.dynamic_slice_in_dim(keep, off, Pl, axis=keep.ndim - 1)
-            x = x.at[sl].set(x[sl] * keep_loc[None] + dense_loc)
+            sm = tab.corr_slot[f]  # (*slab, P_total) int32, replicated
+            sm_loc = jax.lax.dynamic_slice_in_dim(sm, off, Pl, axis=sm.ndim - 1)
+            dense = sums0[:, sm_loc]  # (C, *slab, Pl) gather
+            x = x.at[sl].set(jnp.where((sm_loc > 0)[None], dense, x[sl]))
     return x
 
 

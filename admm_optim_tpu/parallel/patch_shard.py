@@ -90,13 +90,8 @@ class ShardedPatchMG:
                 else None
             ),
             corr_group_oh=rep if lvl.use_slab and lvl.corr_nseg else None,
-            corr_slab_oh=(
-                tuple(rep for _ in lvl.corr_slab_oh)
-                if lvl.use_slab and lvl.corr_nseg
-                else None
-            ),
-            corr_keep=(
-                tuple(rep for _ in lvl.corr_keep)
+            corr_slot=(
+                tuple(rep for _ in lvl.corr_slot)
                 if lvl.use_slab and lvl.corr_nseg
                 else None
             ),
@@ -165,14 +160,17 @@ class ShardedPatchMG:
 
     # ---- shard_map entry points ---------------------------------------------
 
-    def assemble_fn(self, corner_mat_fn: Callable, base_dense_fn: Callable):
+    def assemble_fn(
+        self, corner_mat_fn: Callable, base_dense_fn: Callable, sym: bool = False
+    ):
         """jit-able (coords_p, tabs) -> PatchMGData, sharded end to end."""
         fs = self.field_spec()
         tab_specs = [self.table_specs(l) for l in range(len(self.ps.levels))]
 
         def asm(coords_p, tabs):
             return pmg.assemble_patch_mg_p(
-                self.ps, self.struct, coords_p, corner_mat_fn, base_dense_fn, tabs
+                self.ps, self.struct, coords_p, corner_mat_fn, base_dense_fn,
+                tabs, sym=sym,
             )
 
         return jax.shard_map(

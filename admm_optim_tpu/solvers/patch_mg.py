@@ -128,6 +128,7 @@ def assemble_patch_mg_p(
     corner_mat_fn: Callable,  # corners (d, nl, ...) -> (C,C,nl,nl,...)
     base_dense_fn: Callable,  # coords0 (V0, d) -> dense inverse (C*V0, C*V0)
     tabs: list,
+    sym: bool = False,  # symmetric half-stencil storage (SPD operators only)
 ) -> PatchMGData:
     """Assemble all levels from patch-layout geometry (rap=true analogue:
     rediscretized coarse operators from the nested lattice coordinates).
@@ -136,6 +137,7 @@ def assemble_patch_mg_p(
     the base operator is built from the psum-gathered level-0 coordinates
     (V0 is small: the coarse .ugx / geomgen mesh)."""
     spmd = struct.spmd
+    nch = coords_p.shape[0]  # input channels (d, or 2d with a frozen field)
     W_l, invd_l, lmax_l = [], [], []
     for l, lvl in enumerate(ps.levels):
         stride = 2 ** (ps.k - l)
@@ -150,8 +152,38 @@ def assemble_patch_mg_p(
         if spmd is not None and l < struct.replicate_below:
             cp = jax.lax.all_gather(cp, spmd.axis, axis=cp.ndim - 1, tiled=True)
             lvl_spmd = None
-        W = st.assemble_w(ps, l, cp, corner_mat_fn)
-        W = st.bake_dirichlet_w(ps, l, W, free=tabs[l].free.astype(W.dtype))
+        # bound per-class assembly temporaries.  Block-protocol corner fns
+        # (fn.block_protocol, e.g. deformation_corner_block_fn) keep live
+        # temporaries at O(nl*d) lattice units and assemble unchunked; the
+        # dense-tensor protocol materializes (C,C,nl,nl,m^d,P) per class and
+        # OOMs one chip at 3D refs=5, so it is lax.map-chunked over the patch
+        # axis - but never below 112 patches: the patch axis is the TPU lane
+        # (minor) dim and smaller chunks pad to 128 lanes (measured 4x memory
+        # blowup of the stacked chunk outputs at Pc=14).
+        nl = ps.dim + 1
+        if getattr(corner_mat_fn, "block_protocol", False):
+            p_chunk = None
+            # the block path assembles in one fusion whose liveness is
+            # ~1.7 KB/cell (measured, 3D refs=5); chunk the first lattice
+            # axis (sublane dim, no lane padding) to keep it under ~2.5 GB
+            cells = (lvl.m ** ps.dim) * cp.shape[-1]  # cp is the local shard
+            nb_rows = max(1, int(np.ceil(cells * 1700 / (2.5 * 2**30))))
+            row_chunk = lvl.m
+            while row_chunk > 1 and lvl.m // row_chunk < nb_rows:
+                row_chunk //= 2
+            row_chunk = row_chunk if row_chunk < lvl.m else None
+        else:
+            row_chunk = None
+            bytes_per_patch = (nch * nch * nl * nl) * (lvl.m ** ps.dim) * 4
+            p_chunk = max(112, (512 << 20) // max(bytes_per_patch, 1))
+            p_chunk = p_chunk if p_chunk < cp.shape[-1] else None
+        # tabs of agglomerated levels are replicated full-size (parallel.
+        # patch_shard.table_specs), matching the all-gathered cp - no gather
+        free_l = tabs[l].free.astype(cp.dtype)
+        W = st.assemble_w(
+            ps, l, cp, corner_mat_fn, p_chunk=p_chunk, sym=sym, free=free_l,
+            row_chunk=row_chunk,
+        )
         diag = st.exchange_sum(
             None, st.stencil_diag(ps, l, W), tabs[l], spmd=lvl_spmd
         )
@@ -183,12 +215,15 @@ def assemble_patch_mg(
     corner_mat_fn: Callable,
     base_dense_fn: Callable,
     tabs: list | None = None,
+    sym: bool = False,
 ) -> PatchMGData:
     """Single-device wrapper: global coords -> patch layout -> assemble."""
     if tabs is None:
         tabs = make_level_tables(ps, coords_global.dtype)
     coords_p = st.to_patch(ps.fine, coords_global.T)  # (d, *latf, P)
-    return assemble_patch_mg_p(ps, struct, coords_p, corner_mat_fn, base_dense_fn, tabs)
+    return assemble_patch_mg_p(
+        ps, struct, coords_p, corner_mat_fn, base_dense_fn, tabs, sym=sym
+    )
 
 
 def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=None):

@@ -90,7 +90,7 @@ def start_warmup_thread():
     return th
 
 
-HOST_CACHE_VER = 2  # bump when core.mesh / core.patches layouts change
+HOST_CACHE_VER = 3  # bump when core.mesh / core.patches layouts change
 
 
 def get_mesh(num_refs):
@@ -138,7 +138,7 @@ def run_size(num_refs):
     from admm_optim_tpu.ops import patchstencil as st
     from admm_optim_tpu.ops import sparsity
     from admm_optim_tpu.ops.deformation import (
-        deformation_corner_mats,
+        deformation_corner_block_fn,
         deformation_elem_mats,
     )
     from admm_optim_tpu.solvers import patch_mg
@@ -178,9 +178,10 @@ def run_size(num_refs):
     assemble = jax.jit(
         lambda c, tabs: patch_mg.assemble_patch_mg(
             ps, struct, c,
-            lambda x: deformation_corner_mats(x, 1.0, 1.0, 1.0),
+            deformation_corner_block_fn(1.0, 1.0, 1.0),
             base_dense_fn,
             tabs=tabs,
+            sym=True,
         )
     )
     data = assemble(coords, tabs)
