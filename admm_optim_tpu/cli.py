@@ -45,7 +45,7 @@ def build_parser() -> argparse.ArgumentParser:
     a("-vorder", type=int, default=2, choices=(1, 2))
     a("-backend", type=str, default="auto", choices=("auto", "patch", "global"),
       help="ADMM linear-algebra backend (patch = brick-lattice TPU fast path)")
-    a("-pressurePrecond", type=str, default="mass", choices=("mass", "pcd"),
+    a("-pressurePrecond", type=str, default="pcd", choices=("mass", "pcd"),
       help="NS pressure-block preconditioner (pcd = viscosity-robust Schur)")
     a("-outDir", type=str, default="./admm_out")
     a("-x64", action="store_true", help="run in float64 on CPU")

@@ -61,7 +61,11 @@ class ProblemConfig:
     # NS pressure-block preconditioner: "mass" (lumped mass / nu - the
     # Stokes surrogate) or "pcd" (pressure convection-diffusion Schur
     # approximation, viscosity-robust; solvers.ns_solver.ns_pcd_M)
-    pressure_precond: str = "mass"
+    # "pcd" (Kay-Loghin-Wathen, default) vs "mass" (lumped mass/nu Stokes
+    # surrogate).  With per-Newton-step preconditioner refresh PCD wins or
+    # ties at every measured config and is 1.8x fewer GMRES iterations at
+    # the reference-default visc=0.02 (2D refs=2: 1380 vs 2460)
+    pressure_precond: str = "pcd"
     # ADMM linear-algebra backend: "patch" (brick-lattice stencil fast path,
     # ~6x on TPU; needs geomgen brick metadata), "global" (block-ELL, any
     # simplex mesh), or "auto" (patch when available)
@@ -89,6 +93,7 @@ def f32_presets(cfg: "ProblemConfig") -> "ProblemConfig":
             abs_tol=max(cfg.ns.abs_tol, 1e-6),
             lin_rel_tol=max(cfg.ns.lin_rel_tol, 1e-4),
             lin_abs_tol=max(cfg.ns.lin_abs_tol, 1e-6),
+            adj_rel_tol=max(cfg.ns.adj_rel_tol, 1e-10),
         ),
     )
 
@@ -270,11 +275,11 @@ class ObstacleShapeOpt:
                 jnp.asarray(self.pre_space.parents[-1]) if p2iso else None
             )
 
-            def _vel_pre_raw(X, s, adjoint):
+            def _vel_pre_raw(X, s, nu, adjoint):
                 return ns_solver.ns_gmg_precond_data_patch(
                     self.ns_space, self.pre_ps, self._pre_struct_p,
                     self._pre_tabs_p, self._pre_base_dense, _parents_fine,
-                    X, cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                    X, nu, s=s, p2_iso=p2iso, adjoint=adjoint,
                 )
 
             def _zero_s(X):
@@ -284,13 +289,14 @@ class ObstacleShapeOpt:
                 )
 
             _vel_jit = {
-                False: jax.jit(lambda X, s: _vel_pre_raw(X, s, False)),
-                True: jax.jit(lambda X, s: _vel_pre_raw(X, s, True)),
+                False: jax.jit(lambda X, s, nu: _vel_pre_raw(X, s, nu, False)),
+                True: jax.jit(lambda X, s, nu: _vel_pre_raw(X, s, nu, True)),
             }
 
-            def _vel_pre(X, s=None, adjoint=False):
+            def _vel_pre(X, s=None, adjoint=False, nu=None):
                 return _vel_jit[bool(adjoint)](
-                    X, _zero_s(X) if s is None else s
+                    X, _zero_s(X) if s is None else s,
+                    cfg.visc if nu is None else nu,
                 )
 
             def _vel_M(pre_data):
@@ -299,15 +305,22 @@ class ObstacleShapeOpt:
                 )
         else:
 
-            def _vel_pre(X, s=None, adjoint=False):
+            def _vel_pre(X, s=None, adjoint=False, nu=None):
                 return ns_solver.ns_gmg_precond_data(
                     self.ns_space, self.pre_space, self.pre_struct, X,
-                    cfg.visc, s=s, p2_iso=p2iso, adjoint=adjoint,
+                    cfg.visc if nu is None else nu,
+                    s=s, p2_iso=p2iso, adjoint=adjoint,
                 )
 
             def _vel_M(pre_data):
                 return None  # ns_gmg_M/ns_pcd_M fall back to the ELL V-cycle
 
+        # NOTE on nu: the preconditioner data is assembled at the CURRENT
+        # continuation viscosity (the ladder would otherwise smooth with
+        # target-visc operators while solving the nu-rung system).  The
+        # triangular B^T coupling inside ns_gmg_M/ns_pcd_M is exact for any
+        # visc (the pressure term of the momentum residual is
+        # viscosity-independent), so cfg.visc there is not a mismatch.
         if cfg.pressure_precond == "pcd":
             # PCD Schur approximation (viscosity-robust pressure block;
             # ns_solver.ns_pcd_precond_data)
@@ -315,11 +328,11 @@ class ObstacleShapeOpt:
                 hier, cfg.do_nothing
             )
 
-            def _ns_pre(X, s=None, adjoint=False):
-                pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint)
+            def _ns_pre(X, s=None, adjoint=False, nu=None):
+                pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint, nu=nu)
                 pcd = ns_solver.ns_pcd_precond_data(
-                    self.ns_space, self.p_space, self.p_struct, X, cfg.visc,
-                    s=s, adjoint=adjoint,
+                    self.ns_space, self.p_space, self.p_struct, X,
+                    cfg.visc if nu is None else nu, s=s, adjoint=adjoint,
                 )
                 return (pre_data,) + pcd + (X,)
 
@@ -332,20 +345,28 @@ class ObstacleShapeOpt:
                 )(r)
         else:
 
-            def _ns_pre(X, s=None, adjoint=False):
-                return _vel_pre(X, s=s, adjoint=adjoint)
+            def _ns_pre(X, s=None, adjoint=False, nu=None):
+                return _vel_pre(X, s=s, adjoint=adjoint, nu=nu) + (X,)
 
-            def _M_fn(r, pre_data, pdiag):
+            def _M_fn(r, pre_data, pdiag, X):
+                # block-triangular coupling (coords/visc): ~1.6x fewer GMRES
+                # iterations than the diagonal form (see ns_gmg_M)
                 return ns_solver.ns_gmg_M(
                     self.ns_space, self.pre_struct, pre_data, pdiag,
                     vel_M=_vel_M(pre_data),
+                    coords=X, visc=cfg.visc, stab=cfg.stab,
                 )(r)
 
         self._ns_pre = _ns_pre
+        # monolithic Newton rebuilds the preconditioner at each iterate via
+        # M_builder (frozen-at-s0 data costs 3.8x the GMRES iterations and
+        # Newton's quadratic rate - see ns_solver.newton_solve)
         self._ns_solve_pre = jax.jit(
-            lambda X, s0, m_args, visc: ns_solver.newton_solve(
+            lambda X, s0, visc: ns_solver.newton_solve(
                 self.ns_space, X, s0, visc, cfg.stab, cfg.ns,
-                M=lambda r: _M_fn(r, *m_args),
+                M_builder=lambda s: (
+                    lambda r: _M_fn(r, *_ns_pre(X, s=s, nu=visc))
+                ),
             )
         )
         # adjoint: the diagonal block preconditioner is both stable and the
@@ -363,16 +384,17 @@ class ObstacleShapeOpt:
         self._ns_stepped = int(lvl.num_elems) > 20000
         self._ns_step_cache = {}
 
-        def _ns_solve(X, s0, visc=None):
-            m_args = self._ns_pre(X, s=s0)
+        def _ns_solve(X, s0, visc=None, verbose=False):
             nu = cfg.visc if visc is None else visc
-            if self._ns_stepped:
+            if self._ns_stepped or verbose:
                 return ns_solver.newton_solve_stepped(
                     self.ns_space, X, s0, nu, cfg.stab, cfg.ns,
-                    M_fn=_M_fn, m_args=m_args,
+                    M_fn=_M_fn, m_args=self._ns_pre(X, s=s0, nu=nu),
+                    pre_fn=lambda s: self._ns_pre(X, s=s, nu=nu),
                     step_jit_cache=self._ns_step_cache,
+                    verbose=verbose,
                 )
-            return self._ns_solve_pre(X, s0, m_args, nu)
+            return self._ns_solve_pre(X, s0, nu)
 
         def _adjoint(X, s):
             return self._adjoint_pre(X, s)

@@ -155,7 +155,10 @@ class P1VectorSpace:
 
         if not hasattr(self, "_cd_jits"):
             self._cd_jits = {}
-        key = ("cd", visc)
+        # visc enters the jitted kernels as a RUNTIME argument so a traced
+        # viscosity (continuation ladder / preconditioner refresh inside a
+        # jitted Newton body) reuses one compiled kernel per level
+        key = "cd"
         if key not in self._cd_jits:
             fns = []
             for l, pat in enumerate(self.patterns):
@@ -163,7 +166,7 @@ class P1VectorSpace:
                 elems_l = np.asarray(self.hier.levels[l].elems)
 
                 def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
-                    def fn(coords_l, w_l):
+                    def fn(coords_l, w_l, visc):
                         em = convdiff_elem_mats(
                             coords_l, jnp.asarray(elems_l), w_l, visc,
                             ncomp=self.ncomp or None,
@@ -187,7 +190,8 @@ class P1VectorSpace:
         vals_l, diag_l, free_l, lmax_l = [], [], [], []
         for l in range(len(self.patterns)):
             vals, diag, free, lmax = fns[l](
-                fine_coords[: self.nv[l]], w_fine[:, : self.nv[l]]
+                fine_coords[: self.nv[l]], w_fine[:, : self.nv[l]],
+                jnp.asarray(visc, fine_coords.dtype),
             )
             vals_l.append(vals)
             diag_l.append(diag)

@@ -33,24 +33,40 @@ class NewtonConfig:
     line_search_reduce: float = 0.9
     lin_restart: int = 60
     lin_max_iters: int = 600
-    lin_rel_tol: float = 1e-5
+    # inexact-Newton forcing term: 1e-2 keeps the superlinear outer
+    # trajectory (the abs floor tied to accept_tol supplies the final
+    # accuracy) at ~2.3x fewer total GMRES iterations than 1e-5
+    # (measured 2D refs=2 visc=0.05: 960 vs 2220, same 6-7 Newton steps,
+    # same final |R| ~ 3e-9)
+    lin_rel_tol: float = 1e-2
     lin_abs_tol: float = 1e-14
+    # the ADJOINT solve is not an inexact-Newton step: the shape gradient
+    # inherits its linear residual directly, so it keeps a tight tolerance
+    # independent of lin_rel_tol
+    adj_rel_tol: float = 1e-11
 
 
 def newton_solve(
-    space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None
+    space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(),
+    M=None, M_builder=None,
 ):
     """Newton with backtracking acceptBest line search.  Returns
     (s, iters, res_norm, converged) - all jittable.
 
     M: optional preconditioner for the inner GMRES (e.g. the GMG block
-    preconditioner from make_ns_gmg_preconditioner); defaults to the
-    block-diagonal surrogate."""
+    preconditioner from ns_gmg_M); defaults to the block-diagonal
+    surrogate.  M_builder(s) -> M rebuilds the preconditioner at the
+    CURRENT Newton iterate (traced into the loop body).  A preconditioner
+    frozen at s0 goes stale as the convection field develops - measured on
+    the 2D refs=2 channel at visc=0.05 it costs 3.8x the total GMRES
+    iterations and drops Newton from quadratic to ~4x/step (the reference
+    reassembles its GMG hierarchy every Newton step for the same reason,
+    obstacle_optim_util.lua:46-68)."""
 
     def R(s):
         return nsops.ns_residual(space, coords, s, visc, stab)
 
-    if M is None:
+    if M is None and M_builder is None:
         M = nsops.diag_preconditioner(space, coords, visc)
 
     def norm(x):
@@ -61,7 +77,7 @@ def newton_solve(
         res = gmres(
             Jv,
             -r,
-            M=M,
+            M=M_builder(s) if M_builder is not None else M,
             restart=cfg.lin_restart,
             max_iters=cfg.lin_max_iters,
             # absolute floor tied to the Newton acceptance threshold: the
@@ -118,6 +134,7 @@ def newton_solve_stepped(
     m_args=(),
     step_jit_cache: dict | None = None,
     verbose: bool = False,
+    pre_fn=None,
 ):
     """Host-stepped Newton: same semantics as newton_solve, but one Newton
     iteration per device execution (GMRES capped at cfg.lin_max_iters per
@@ -134,6 +151,9 @@ def newton_solve_stepped(
     M_fn(r, *m_args): preconditioner as a FUNCTION of runtime pytree args
     (not a closure - closed-over device arrays would be baked into the
     compiled kernel as constants and go stale when the geometry moves).
+    pre_fn(s) -> m_args: rebuild the preconditioner data at each Newton
+    iterate (see newton_solve's M_builder for why); overrides m_args after
+    the first iteration.
     step_jit_cache: per-problem dict to reuse compiled kernels across calls.
     """
     default_M = M_fn is None
@@ -191,6 +211,8 @@ def newton_solve_stepped(
     s = s0
     it = 0
     while nrm > cfg.abs_tol and it < cfg.max_iters:
+        if pre_fn is not None and it > 0:
+            m_args = pre_fn(s)
         s_new, nrm_new, lin_its = step_fn(
             coords, s, visc, jnp.asarray(nrm, s0.dtype), m_args
         )
@@ -235,7 +257,7 @@ def adjoint_solve(
         restart=2 * cfg.lin_restart,
         max_iters=4 * cfg.lin_max_iters,
         abs_tol=cfg.lin_abs_tol,
-        rel_tol=cfg.lin_rel_tol * 1e-6,
+        rel_tol=cfg.adj_rel_tol,
     )
     return res.x, res.res_norm
 
@@ -474,20 +496,44 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
     return M
 
 
-def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None):
+def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
+             coords=None, visc=None, stab=0.0):
     """Block preconditioner closure: velocity ~ one V-cycle on the
-    nu-weighted vector Laplacian (on the once-refined P1 space), pressure ~
-    lumped mass / nu.  Replaces the reference's GMG+ComponentGaussSeidel NS
-    preconditioner (obstacle_optim_util.lua:46-102).  vel_M overrides the
-    velocity-block action (patch_velocity_M for the stencil backend)."""
+    nu-weighted conv-diff operator (on the once-refined P1 space), pressure
+    ~ lumped mass / nu.  Replaces the reference's GMG+ComponentGaussSeidel
+    NS preconditioner (obstacle_optim_util.lua:46-102).  vel_M overrides
+    the velocity-block action (patch_velocity_M for the stencil backend).
+
+    With coords/visc given the preconditioner is block-TRIANGULAR:
+    z_p = Mp^-1 r_p, then z_v = F^-1 (r_v - B^T z_p), with B^T z_p obtained
+    exactly from the affine pressure dependence of the momentum residual
+    (one residual evaluation; same trick as ns_pcd_M).  Measured on the 2D
+    refs=2 channel at visc=0.05: total GMRES iterations across the Newton
+    solve drop ~1.6x vs the block-diagonal form at equal final residual."""
+    from ..ops import navier_stokes as nsops
     from ..solvers import mg as mgmod
+
+    triangular = coords is not None and visc is not None
+    if triangular:
+        zero_v = jnp.zeros((ns_space.dim, ns_space.n_vel), pdiag.dtype)
+        r_zero = nsops.ns_residual(
+            ns_space, coords, ns_space.pack(zero_v, jnp.zeros_like(pdiag)),
+            visc, stab,
+        )
 
     def M(r):
         rv, rp = ns_space.unpack(r)  # rv (d, n_vel) == P1 field on L+1
+        zp = rp / pdiag
+        if triangular:
+            r_zp = nsops.ns_residual(
+                ns_space, coords, ns_space.pack(zero_v, zp), visc, stab
+            )
+            bt_zp, _ = ns_space.unpack(r_zp - r_zero)
+            rv = rv - bt_zp
         if vel_M is not None:
             zv = vel_M(rv)
         else:
             zv = mgmod.vcycle(pre_struct, pre_data, rv.reshape(-1)).reshape(rv.shape)
-        return ns_space.pack(zv, rp / pdiag)
+        return ns_space.pack(zv, zp)
 
     return M
