@@ -47,6 +47,8 @@ def build_parser() -> argparse.ArgumentParser:
       help="ADMM linear-algebra backend (patch = brick-lattice TPU fast path)")
     a("-pressurePrecond", type=str, default="pcd", choices=("mass", "pcd"),
       help="NS pressure-block preconditioner (pcd = viscosity-robust Schur)")
+    a("-velInner", type=int, default=1,
+      help="velocity-block Richardson steps per NS preconditioner apply")
     a("-outDir", type=str, default="./admm_out")
     a("-x64", action="store_true", help="run in float64 on CPU")
     a("-restart", type=str, default=None, help="checkpoint file to resume from")
@@ -91,6 +93,7 @@ def main(argv=None) -> int:
         grid_path=args.grid,
         backend=args.backend,
         pressure_precond=args.pressurePrecond,
+        vel_inner=args.velInner,
         admm=ADMMConfig(
             admm_steps=args.admmSteps,
             admm_tolerance=args.admm_tolerance,

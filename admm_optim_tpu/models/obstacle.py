@@ -58,14 +58,18 @@ class ProblemConfig:
     diameter: float = 6.0
     max_attempts_per_step: int = 12  # bound on the reference's while(true)
     grid_path: str | None = None  # load a .ugx instead of generating
-    # NS pressure-block preconditioner: "mass" (lumped mass / nu - the
-    # Stokes surrogate) or "pcd" (pressure convection-diffusion Schur
-    # approximation, viscosity-robust; solvers.ns_solver.ns_pcd_M)
-    # "pcd" (Kay-Loghin-Wathen, default) vs "mass" (lumped mass/nu Stokes
-    # surrogate).  With per-Newton-step preconditioner refresh PCD wins or
-    # ties at every measured config and is 1.8x fewer GMRES iterations at
-    # the reference-default visc=0.02 (2D refs=2: 1380 vs 2460)
+    # NS pressure-block preconditioner: "pcd" (Kay-Loghin-Wathen pressure
+    # convection-diffusion Schur approximation, default) vs "mass" (lumped
+    # mass/nu Stokes surrogate).  With per-Newton-step preconditioner
+    # refresh PCD wins or ties at every measured config and is 1.8x fewer
+    # GMRES iterations at the reference-default visc=0.02 (2D refs=2:
+    # 1380 vs 2460)
     pressure_precond: str = "pcd"
+    # velocity-block strength: V-cycle-preconditioned Richardson steps per
+    # preconditioner application (patch NS backend).  >1 trades cheap
+    # gather-free V-cycles for outer GMRES iterations (= expensive P2
+    # jvps): measured outer iters 1380/1020/840 at 1/2/3 (2D refs=2 pcd)
+    vel_inner: int = 1
     # ADMM linear-algebra backend: "patch" (brick-lattice stencil fast path,
     # ~6x on TPU; needs geomgen brick metadata), "global" (block-ELL, any
     # simplex mesh), or "auto" (patch when available)
@@ -301,7 +305,8 @@ class ObstacleShapeOpt:
 
             def _vel_M(pre_data):
                 return ns_solver.patch_velocity_M(
-                    self.pre_ps, self._pre_struct_p, pre_data
+                    self.pre_ps, self._pre_struct_p, pre_data,
+                    iters=cfg.vel_inner,
                 )
         else:
 

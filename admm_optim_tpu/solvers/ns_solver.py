@@ -353,19 +353,30 @@ def ns_gmg_precond_data_patch(
     return pre_data, pdiag
 
 
-def patch_velocity_M(pre_ps, pre_struct_p, pre_data):
-    """Velocity-block action zv = V-cycle(rv) on the patch backend; global
+def patch_velocity_M(pre_ps, pre_struct_p, pre_data, iters: int = 1):
+    """Velocity-block action zv ~= F^-1 rv on the patch backend; global
     (d, n_vel) in/out.  Fixed (Dirichlet) dofs pass through untouched,
-    matching the identity rows the ELL bake_dirichlet gives mg.vcycle."""
+    matching the identity rows the ELL bake_dirichlet gives mg.vcycle.
+
+    iters > 1 runs V-cycle-preconditioned Richardson (z += V(b - A z)):
+    a stronger velocity block trades cheap gather-free V-cycles for outer
+    GMRES iterations whose cost is dominated by the matrix-free P2 jvp.
+    Measured (2D refs=2 visc=0.02 PCD, iteration counts platform-
+    independent): total outer iterations 1380 / 1020 / 840 at iters=1/2/3."""
     from ..ops import patchstencil as pst
     from . import patch_mg as pmg
 
     tab = pre_data.tabs[pre_ps.k]
+    W = pre_data.W[-1]
 
     def zv_fn(rv):
         free = tab.free[None].astype(rv.dtype)
         b_p = pst.to_patch(pre_ps.fine, rv)
-        z_p = pmg.vcycle_p(pre_struct_p, pre_data, b_p * free)
+        bf = b_p * free
+        z_p = pmg.vcycle_p(pre_struct_p, pre_data, bf)
+        for _ in range(iters - 1):
+            Az = pmg._apply(pre_ps, tab, W, z_p)
+            z_p = z_p + pmg.vcycle_p(pre_struct_p, pre_data, (bf - Az) * free)
         z_p = z_p + b_p * (1.0 - free)
         return pst.from_patch(pre_ps.fine, z_p, rv.shape[1], mode="owner")
 
