@@ -97,7 +97,10 @@ def f32_presets(cfg: "ProblemConfig") -> "ProblemConfig":
             abs_tol=max(cfg.ns.abs_tol, 1e-6),
             lin_rel_tol=max(cfg.ns.lin_rel_tol, 1e-4),
             lin_abs_tol=max(cfg.ns.lin_abs_tol, 1e-6),
-            adj_rel_tol=max(cfg.ns.adj_rel_tol, 1e-10),
+            # f32 noise floor: ~1e-6 relative is reachable with the exact
+            # transposed block preconditioner; acceptBest keeps the best
+            # iterate if GMRES stalls above it
+            adj_rel_tol=max(cfg.ns.adj_rel_tol, 1e-6),
         ),
     )
 
@@ -374,14 +377,22 @@ class ObstacleShapeOpt:
                 ),
             )
         )
-        # adjoint: the diagonal block preconditioner is both stable and the
-        # fastest option for the TRANSPOSED system in f32 (the negated-
-        # velocity conv-diff V-cycle stalls it; measured on TPU)
-        self._adjoint_pre = jax.jit(
-            lambda X, s: ns_solver.adjoint_solve(
-                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns
+        # adjoint: EXACT transpose of the forward block preconditioner
+        # (built at the converged state) via jax.vjp - reproduces the
+        # forward solve's Krylov convergence on J^T (ns_solver.transpose_M;
+        # measured 18x fewer iterations than the old diagonal surrogate,
+        # which was the only stable hand-built option)
+        def _adjoint_impl(X, s):
+            m_args = _ns_pre(X, s=s)
+            MT = ns_solver.transpose_M(
+                lambda r: _M_fn(r, *m_args),
+                self.ns_space.n_state, X.dtype,
             )
-        )
+            return ns_solver.adjoint_solve(
+                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns, M=MT
+            )
+
+        self._adjoint_pre = jax.jit(_adjoint_impl)
 
         # host-stepped Newton for large problems: monolithic Newton programs
         # (130+ MB code, multi-minute single executions) are unreliable

