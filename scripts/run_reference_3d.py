@@ -1,11 +1,10 @@
-"""Long-run trajectory validation on the reference's own 2D grid
-(grids/refined.ugx): the optimization must sustain monotone drag descent
-over many accepted steps, mirroring the reference driver's own success
-criterion (2d_admm.lua:1300-1306, __Drag.txt telemetry 2d_admm.lua:1349).
+"""Short trajectory on the reference's own 3D grid
+(grids/box_3D_elongated.ugx): accepted steps with decreasing drag,
+4 geometric constraints (vol + 3 barycenter), Frobenius-only projection -
+the 3d_admm.lua configuration (SURVEY.md section 2a #2).
 
-CPU (f64) or TPU (f32 presets); writes the __Drag.txt-family telemetry to
---outDir.  Usage:
-    python scripts/run_reference_2d.py [num_steps] [num_refs] [visc] [outdir]
+Usage: python scripts/run_reference_3d.py [num_steps] [num_refs] [visc] [outdir]
+(CPU f64 by default; REF3D_TPU=1 for the f32 TPU presets.)
 """
 import os
 import sys
@@ -13,7 +12,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-ON_CPU = os.environ.get("REF2D_TPU", "") != "1"
+ON_CPU = os.environ.get("REF3D_TPU", "") != "1"
 
 import jax
 
@@ -26,12 +25,12 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 
-STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 2
 REFS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 VISC = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
-OUT = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ref2d_out"
+OUT = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ref3d_out"
 GRID = os.environ.get(
-    "REF2D_GRID", "/root/reference/grids/refined.ugx"
+    "REF3D_GRID", "/root/reference/grids/box_3D_elongated.ugx"
 )
 
 from admm_optim_tpu.io.telemetry import TelemetryWriter
@@ -43,9 +42,9 @@ from admm_optim_tpu.models.obstacle import (
 from admm_optim_tpu.optim import admm
 
 cfg = ProblemConfig(
-    dim=2, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
-    admm=admm.ADMMConfig(admm_steps=40, ns_max_its=8, tau=2.0,
-                         lin_max_iters=120),
+    dim=3, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
+    admm=admm.ADMMConfig(admm_steps=20, ns_max_its=6, tau=2.0,
+                         lin_max_iters=100),
 )
 if not ON_CPU:
     cfg = f32_presets(cfg)
@@ -57,9 +56,8 @@ wall = time.perf_counter() - t0
 
 drags = np.array([r.drag for r in hist])
 print(f"steps accepted: {len(hist)}/{STEPS} wall {wall:.0f}s")
-print(f"drag: {drags[0]:.6f} -> {drags[-1]:.6f} "
-      f"({100 * (1 - drags[-1] / drags[0]):.2f}% reduction)")
+print(f"drag: {drags[0]:.6f} -> {drags[-1]:.6f}")
 mono = bool(np.all(np.diff(drags) < 0))
 print(f"monotone descent: {mono}")
-assert len(hist) >= min(STEPS, 10) and mono
+assert len(hist) >= 1 and mono
 print("OK")
