@@ -74,6 +74,13 @@ class ProblemConfig:
     # ~6x on TPU; needs geomgen brick metadata), "global" (block-ELL, any
     # simplex mesh), or "auto" (patch when available)
     backend: str = "auto"
+    # assembled lattice NS Jacobian (ops.ns_patchjac): the Krylov matvec
+    # becomes a gather-free einsum over stored per-element blocks instead
+    # of a matrix-free jvp re-running the quadrature loop every iteration
+    # (the reference's AssembledOperator strategy, 2d_admm.lua:271).
+    # "auto": on when patch metadata exists and W fits ns_jac_mem_cap
+    ns_assembled_jac: str = "auto"  # "auto" | "on" | "off"
+    ns_jac_mem_cap: float = 6e9  # bytes of W above which auto falls back
     admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
 
@@ -275,6 +282,39 @@ class ObstacleShapeOpt:
             self._assemble = lambda X: self.def_space.assemble_mg(
                 self.struct, X, a.c_eps, a.tau, a.c_mass
             )
+        # ---- assembled lattice NS Jacobian (ops.ns_patchjac) --------------
+        self.use_ns_jac = (
+            self.use_patch_ns
+            and cfg.vorder == 2
+            and cfg.ns_assembled_jac != "off"
+        )
+        if self.use_ns_jac:
+            from ..core.patches import build_patchset as _bps_j
+            from ..ops import ns_patchjac as _nsjac
+            from ..solvers import patch_mg as _pmg_j
+
+            _ps_k = self.patchset if self.use_patch else _bps_j(hier)
+            _wiring = _nsjac.build_wiring(_ps_k)
+            _isz = jnp.asarray(lvl.coords).dtype.itemsize
+            _need = _nsjac.jac_memory_bytes(_ps_k, _wiring, _isz)
+            if cfg.ns_assembled_jac == "on" or _need <= cfg.ns_jac_mem_cap:
+                _tab_f = self._pre_tabs_p[-1]
+                _tab_c = (
+                    self._pmg_tabs[-1]
+                    if self.use_patch
+                    else _pmg_j.make_level_tables(
+                        _ps_k, jnp.asarray(lvl.coords).dtype
+                    )[-1]
+                )
+                self._ns_jac_builder = _nsjac.make_assemble_fn(
+                    self.ns_space, _ps_k, self.pre_ps, _wiring, stab=cfg.stab
+                )
+                self._ns_jv, self._ns_jtv = _nsjac.make_matvec_fns(
+                    self.ns_space, _ps_k, self.pre_ps, _wiring, _tab_f, _tab_c
+                )
+            else:
+                self.use_ns_jac = False  # W would not fit; matrix-free jvp
+
         p2iso = cfg.vorder == 2
         # velocity-block data/action, backend-selected (patch vs block-ELL)
         if self.use_patch_ns:
@@ -369,12 +409,21 @@ class ObstacleShapeOpt:
         # monolithic Newton rebuilds the preconditioner at each iterate via
         # M_builder (frozen-at-s0 data costs 3.8x the GMRES iterations and
         # Newton's quadratic rate - see ns_solver.newton_solve)
+        _jac_kw = (
+            dict(
+                jac_builder=lambda c, s, nu: self._ns_jac_builder(c, s, nu),
+                jv_fn=lambda x, W: self._ns_jv(x, W),
+            )
+            if self.use_ns_jac
+            else {}
+        )
         self._ns_solve_pre = jax.jit(
             lambda X, s0, visc: ns_solver.newton_solve(
                 self.ns_space, X, s0, visc, cfg.stab, cfg.ns,
                 M_builder=lambda s: (
                     lambda r: _M_fn(r, *_ns_pre(X, s=s, nu=visc))
                 ),
+                **_jac_kw,
             )
         )
         # adjoint: EXACT transpose of the forward block preconditioner
@@ -388,8 +437,13 @@ class ObstacleShapeOpt:
                 lambda r: _M_fn(r, *m_args),
                 self.ns_space.n_state, X.dtype,
             )
+            Jt_fn = None
+            if self.use_ns_jac:
+                W = self._ns_jac_builder(X, s, cfg.visc)
+                Jt_fn = lambda x: self._ns_jtv(x, W)
             return ns_solver.adjoint_solve(
-                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns, M=MT
+                self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns, M=MT,
+                Jt_fn=Jt_fn,
             )
 
         self._adjoint_pre = jax.jit(_adjoint_impl)
@@ -409,6 +463,7 @@ class ObstacleShapeOpt:
                     pre_fn=lambda s: self._ns_pre(X, s=s, nu=nu),
                     step_jit_cache=self._ns_step_cache,
                     verbose=verbose,
+                    **_jac_kw,
                 )
             return self._ns_solve_pre(X, s0, nu)
 

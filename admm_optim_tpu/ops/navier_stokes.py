@@ -175,6 +175,59 @@ def _elem_chunks(E: int):
     return nb, block, nb * block - E
 
 
+def ns_elem_residual(
+    space: NSSpace,
+    x: jnp.ndarray,
+    ve: jnp.ndarray,
+    pe: jnp.ndarray,
+    visc: float,
+    stab: float = 0.0,
+    msk: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Element-local Galerkin residual from explicit corner positions.
+
+    x (d, nl, B): element corner coordinates; ve (d, nbv, B): local velocity
+    dofs; pe (nl, B): local pressure dofs; msk (B,): 0/1 padding mask.
+    Returns (r_mom_e (d, nbv, B), r_div_e (nl, B)) - the per-element
+    contributions BEFORE scatter and Dirichlet row replacement.  This is the
+    single source of truth for the NS weak form: ``ns_residual`` gathers /
+    scatters around it, and the lattice Jacobian assembly
+    (ops.ns_patchjac) differentiates it per element class."""
+    d = space.dim
+    dtype = x.dtype
+    qw = jnp.asarray(space.qw, dtype=dtype)
+    val_v = jnp.asarray(space.val_v, dtype=dtype)
+    gref_v = jnp.asarray(space.gref_v, dtype=dtype)
+    val_p = jnp.asarray(space.val_p, dtype=dtype)
+    from .geometry import corner_geometry
+
+    _, detJ, Jinv, vol = corner_geometry(x)
+    gv = jnp.einsum("qbr,rd...->qbd...", gref_v, Jinv)  # (nq, nbv, d, B)
+    vq = jnp.einsum("qb,cb...->cq...", val_v, ve)
+    gradv = jnp.einsum("qbd...,cb...->cdq...", gv, ve)
+    pq = jnp.einsum("qa,a...->q...", val_p, pe)
+    divv = jnp.einsum("ccq...->q...", gradv)
+    adet = jnp.abs(detJ) if msk is None else jnp.abs(detJ) * msk
+    wdet = qw.reshape((-1,) + (1,) * adet.ndim) * adet[None] / _dfact(d)
+    conv = jnp.einsum("dq...,cdq...->cq...", vq, gradv)
+    r_visc = visc * jnp.einsum("q...,cdq...,qbd...->cb...", wdet, gradv, gv)
+    r_conv = jnp.einsum("q...,cq...,qb->cb...", wdet, conv, val_v)
+    r_pres = -jnp.einsum("q...,q...,qbc...->cb...", wdet, pq, gv)
+    r_mom_e = r_visc + r_conv + r_pres  # (d, nbv, B)
+    r_div_e = jnp.einsum("q...,q...,qa->a...", wdet, divv, val_p)  # (nl, B)
+    if stab != 0.0:
+        # Brezzi-Pitkaranta: +stab * h_e^2 (grad p, grad psi) - the sign
+        # that ADDS to the pressure Schur (C + D A^-1 D^T definite)
+        gp1 = p1_phys_grads(Jinv)
+        gradp = jnp.einsum("ad...,a...->d...", gp1, pe)
+        h2 = vol ** (2.0 / d)
+        vmsk = vol if msk is None else vol * msk
+        r_div_e = r_div_e + stab * jnp.einsum(
+            "...,d...,ad...->a...", h2 * vmsk, gradp, gp1
+        )
+    return r_mom_e, r_div_e
+
+
 def ns_residual(
     space: NSSpace,
     coords: jnp.ndarray,
@@ -187,10 +240,6 @@ def ns_residual(
     v, p = space.unpack(s)  # v (d, n_vel), p (V,)
     elems = jnp.asarray(space.elems)
     vel_dofs_t = jnp.asarray(space.vel_dofs).T  # (nbv, E)
-    qw = jnp.asarray(space.qw, dtype=coords.dtype)
-    val_v = jnp.asarray(space.val_v, dtype=coords.dtype)
-    gref_v = jnp.asarray(space.gref_v, dtype=coords.dtype)
-    val_p = jnp.asarray(space.val_p, dtype=coords.dtype)
 
     E = elems.shape[0]
     nb, block, pad = _elem_chunks(E)
@@ -204,31 +253,12 @@ def ns_residual(
 
     def body(args):
         el, vd, msk = args  # (block, nl), (block, nbv), (block,)
-        _, detJ, Jinv, vol = elem_geometry(coords, el)
-        gv = jnp.einsum("qbr,rde->qbde", gref_v, Jinv)  # (nq, nbv, d, Eb)
+        from .geometry import gather_elem
+
+        x = gather_elem(coords, el)  # (d, nl, Eb)
         ve = v[:, vd.T]  # (c, nbv, Eb)
         pe = p[el.T]  # (nl, Eb)
-        vq = jnp.einsum("qb,cbe->cqe", val_v, ve)
-        gradv = jnp.einsum("qbde,cbe->cdqe", gv, ve)
-        pq = jnp.einsum("qa,ae->qe", val_p, pe)
-        divv = jnp.einsum("ccqe->qe", gradv)
-        wdet = qw[:, None] * (jnp.abs(detJ) * msk)[None, :] / _dfact(d)
-        conv = jnp.einsum("dqe,cdqe->cqe", vq, gradv)
-        r_visc = visc * jnp.einsum("qe,cdqe,qbde->cbe", wdet, gradv, gv)
-        r_conv = jnp.einsum("qe,cqe,qb->cbe", wdet, conv, val_v)
-        r_pres = -jnp.einsum("qe,qe,qbce->cbe", wdet, pq, gv)
-        r_mom_e = r_visc + r_conv + r_pres  # (c, nbv, Eb)
-        r_div_e = jnp.einsum("qe,qe,qa->ae", wdet, divv, val_p)  # (nl, Eb)
-        if stab != 0.0:
-            # Brezzi-Pitkaranta: +stab * h_e^2 (grad p, grad psi) - the sign
-            # that ADDS to the pressure Schur (C + D A^-1 D^T definite)
-            gp1 = p1_phys_grads(Jinv)
-            gradp = jnp.einsum("ade,ae->de", gp1, pe)
-            h2 = vol ** (2.0 / d)
-            r_div_e = r_div_e + stab * jnp.einsum(
-                "e,de,ade->ae", h2 * vol * msk, gradp, gp1
-            )
-        return r_mom_e, r_div_e
+        return ns_elem_residual(space, x, ve, pe, visc, stab, msk=msk)
 
     if nb == 1:
         r_mom_e, r_div_e = body((elems_p, vdofs_p, emask))

@@ -48,7 +48,7 @@ class NewtonConfig:
 
 def newton_solve(
     space, coords, s0, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(),
-    M=None, M_builder=None,
+    M=None, M_builder=None, jac_builder=None, jv_fn=None,
 ):
     """Newton with backtracking acceptBest line search.  Returns
     (s, iters, res_norm, converged) - all jittable.
@@ -61,7 +61,12 @@ def newton_solve(
     the 2D refs=2 channel at visc=0.05 it costs 3.8x the total GMRES
     iterations and drops Newton from quadratic to ~4x/step (the reference
     reassembles its GMG hierarchy every Newton step for the same reason,
-    obstacle_optim_util.lua:46-68)."""
+    obstacle_optim_util.lua:46-68).
+
+    jac_builder(coords, s, visc) -> jac_args with jv_fn(x, jac_args) -> Jx:
+    assemble-once Jacobian per Newton iterate (ops.ns_patchjac lattice
+    blocks - the reference's AssembledOperator strategy, 2d_admm.lua:271);
+    default is the matrix-free jax.jvp per Krylov iteration."""
 
     def R(s):
         return nsops.ns_residual(space, coords, s, visc, stab)
@@ -73,7 +78,11 @@ def newton_solve(
         return jnp.sqrt(jnp.vdot(x, x))
 
     def lin_solve(s, r):
-        Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
+        if jac_builder is not None and jv_fn is not None:
+            jac_args = jac_builder(coords, s, visc)
+            Jv = lambda x: jv_fn(x, jac_args)
+        else:
+            Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
         res = gmres(
             Jv,
             -r,
@@ -135,6 +144,8 @@ def newton_solve_stepped(
     step_jit_cache: dict | None = None,
     verbose: bool = False,
     pre_fn=None,
+    jac_builder=None,
+    jv_fn=None,
 ):
     """Host-stepped Newton: same semantics as newton_solve, but one Newton
     iteration per device execution (GMRES capped at cfg.lin_max_iters per
@@ -155,10 +166,13 @@ def newton_solve_stepped(
     iterate (see newton_solve's M_builder for why); overrides m_args after
     the first iteration.
     step_jit_cache: per-problem dict to reuse compiled kernels across calls.
+    jac_builder/jv_fn: assemble-once Jacobian (see newton_solve) - the
+    assembly is traced INTO the step kernel (one device execution still).
     """
     default_M = M_fn is None
+    use_jac = jac_builder is not None and jv_fn is not None
     cache = step_jit_cache if step_jit_cache is not None else {}
-    key = ("newton_step", id(space), stab, cfg, default_M)
+    key = ("newton_step", id(space), stab, cfg, default_M, use_jac)
 
     if key not in cache:
 
@@ -172,7 +186,11 @@ def newton_solve_stepped(
             else:
                 Mx = lambda x: M_fn(x, *m_args)
             r = R(s)
-            Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
+            if use_jac:
+                jac_args = jac_builder(coords, s, visc)
+                Jv = lambda x: jv_fn(x, jac_args)
+            else:
+                Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
             res = gmres(
                 Jv,
                 -r,
@@ -233,11 +251,15 @@ def newton_solve_stepped(
 
 
 def adjoint_solve(
-    space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None
+    space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None,
+    Jt_fn=None,
 ):
     """Solve J(s)^T lambda = -dJ_drag/ds.  The reference assembles a separate
     adjoint discretization (ADMMNavierStokesAdjoint, 2d_admm.lua:286-332);
     the transposed-Jacobian solve is its exact discrete counterpart.
+
+    Jt_fn: optional assembled transpose apply (ops.ns_patchjac lattice
+    blocks with the einsum transposed); default is jax.vjp per iteration.
 
     Note: a GMG preconditioner built for J must be (approximately) symmetric
     to double as a J^T preconditioner - the vector-Laplacian V-cycle is."""
@@ -245,8 +267,11 @@ def adjoint_solve(
     def R(ss):
         return nsops.ns_residual(space, coords, ss, visc, stab)
 
-    _, vjp = jax.vjp(R, s)
-    Jt = lambda x: vjp(x)[0]
+    if Jt_fn is not None:
+        Jt = Jt_fn
+    else:
+        _, vjp = jax.vjp(R, s)
+        Jt = lambda x: vjp(x)[0]
     gJ = jax.grad(lambda ss: nsops.drag(space, coords, ss, visc))(s)
     if M is None:
         M = nsops.diag_preconditioner(space, coords, visc)
