@@ -312,6 +312,9 @@ class ObstacleShapeOpt:
                 self._ns_jv, self._ns_jtv = _nsjac.make_matvec_fns(
                     self.ns_space, _ps_k, self.pre_ps, _wiring, _tab_f, _tab_c
                 )
+                self._ns_bt = _nsjac.make_bt_fn(
+                    self.ns_space, _ps_k, self.pre_ps, _wiring, _tab_f
+                )
             else:
                 self.use_ns_jac = False  # W would not fit; matrix-free jvp
 
@@ -384,25 +387,31 @@ class ObstacleShapeOpt:
                 )
                 return (pre_data,) + pcd + (X,)
 
-            def _M_fn(r, pre_data, ap_data, fp_vals, mp, X):
+            def _M_fn(r, pre_data, ap_data, fp_vals, mp, X, W=None):
+                bt_fn = (
+                    (lambda zp: self._ns_bt(zp, W)) if W is not None else None
+                )
                 return ns_solver.ns_pcd_M(
                     self.ns_space, self.pre_struct, pre_data, self.p_space,
                     self.p_struct, ap_data, fp_vals, mp,
                     coords=X, visc=cfg.visc, stab=cfg.stab,
-                    vel_M=_vel_M(pre_data),
+                    vel_M=_vel_M(pre_data), bt_fn=bt_fn,
                 )(r)
         else:
 
             def _ns_pre(X, s=None, adjoint=False, nu=None):
                 return _vel_pre(X, s=s, adjoint=adjoint, nu=nu) + (X,)
 
-            def _M_fn(r, pre_data, pdiag, X):
+            def _M_fn(r, pre_data, pdiag, X, W=None):
                 # block-triangular coupling (coords/visc): ~1.6x fewer GMRES
                 # iterations than the diagonal form (see ns_gmg_M)
+                bt_fn = (
+                    (lambda zp: self._ns_bt(zp, W)) if W is not None else None
+                )
                 return ns_solver.ns_gmg_M(
                     self.ns_space, self.pre_struct, pre_data, pdiag,
                     vel_M=_vel_M(pre_data),
-                    coords=X, visc=cfg.visc, stab=cfg.stab,
+                    coords=X, visc=cfg.visc, stab=cfg.stab, bt_fn=bt_fn,
                 )(r)
 
         self._ns_pre = _ns_pre
@@ -433,14 +442,15 @@ class ObstacleShapeOpt:
         # which was the only stable hand-built option)
         def _adjoint_impl(X, s):
             m_args = _ns_pre(X, s=s)
-            MT = ns_solver.transpose_M(
-                lambda r: _M_fn(r, *m_args),
-                self.ns_space.n_state, X.dtype,
-            )
             Jt_fn = None
             if self.use_ns_jac:
                 W = self._ns_jac_builder(X, s, cfg.visc)
                 Jt_fn = lambda x: self._ns_jtv(x, W)
+                m_args = m_args + (W,)  # assembled B^T inside M too
+            MT = ns_solver.transpose_M(
+                lambda r: _M_fn(r, *m_args),
+                self.ns_space.n_state, X.dtype,
+            )
             return ns_solver.adjoint_solve(
                 self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns, M=MT,
                 Jt_fn=Jt_fn,
@@ -454,16 +464,38 @@ class ObstacleShapeOpt:
         self._ns_stepped = int(lvl.num_elems) > 20000
         self._ns_step_cache = {}
 
+        if self.use_ns_jac:
+            # per-iterate args = preconditioner data + assembled Jacobian
+            # blocks (shared by the Krylov matvec AND the B^T coupling)
+            self._ns_jac_jit = jax.jit(
+                lambda X, s, nu: self._ns_jac_builder(X, s, nu)
+            )
+
+            def _pre_full(X, s, nu):
+                return self._ns_pre(X, s=s, nu=nu) + (
+                    self._ns_jac_jit(X, s, nu),
+                )
+
+            _stepped_kw = dict(
+                jv_fn=lambda x, W: self._ns_jv(x, W), jv_from_m=True
+            )
+        else:
+
+            def _pre_full(X, s, nu):
+                return self._ns_pre(X, s=s, nu=nu)
+
+            _stepped_kw = {}
+
         def _ns_solve(X, s0, visc=None, verbose=False):
             nu = cfg.visc if visc is None else visc
             if self._ns_stepped or verbose:
                 return ns_solver.newton_solve_stepped(
                     self.ns_space, X, s0, nu, cfg.stab, cfg.ns,
-                    M_fn=_M_fn, m_args=self._ns_pre(X, s=s0, nu=nu),
-                    pre_fn=lambda s: self._ns_pre(X, s=s, nu=nu),
+                    M_fn=_M_fn, m_args=_pre_full(X, s0, nu),
+                    pre_fn=lambda s: _pre_full(X, s, nu),
                     step_jit_cache=self._ns_step_cache,
                     verbose=verbose,
-                    **_jac_kw,
+                    **_stepped_kw,
                 )
             return self._ns_solve_pre(X, s0, nu)
 

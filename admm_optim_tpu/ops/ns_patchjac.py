@@ -270,6 +270,42 @@ def apply_ns_jacobian_t(
     return yv, yp
 
 
+def make_bt_fn(space, ps, pre_ps, wiring: NSJacWiring, tab_f):
+    """(zp (n_p,), W) -> B^T zp (d, n_vel): the pressure-gradient coupling
+    into the momentum rows, from the stored velocity-pressure sub-blocks
+    (W[:, :d*nbv, d*nbv:]).  Replaces the residual-evaluation trick in
+    solvers.ns_solver._bt_coupling inside the block preconditioner - one
+    ~10%-of-a-Jacobian-apply einsum instead of a full quadrature element
+    loop per preconditioner application.  Fixed (Dirichlet) momentum rows
+    are zero, exactly as the residual-difference form gives."""
+    d, nbv, nl = wiring.dim, wiring.nbv, wiring.nl
+    m = ps.levels[-1].m
+
+    def bt(zp, W):
+        xp = pst.to_patch(ps.fine, zp[None])
+        # velocity-field shape from the fine-level tables
+        yv = jnp.zeros((d,) + tab_f.free.shape, xp.dtype)
+        for c in range(wiring.nclass):
+            p_loc = jnp.stack(
+                [xp[(0,) + _p_view_slices(wiring.p_offs[c][i], m)]
+                 for i in range(nl)],
+                axis=0,
+            )  # (nl, *cells, P)
+            Wvp = W[c, : d * nbv, d * nbv :]  # (d*nbv, nl, *cells, P)
+            y_loc = jnp.einsum("ab...,b...->a...", Wvp, p_loc)
+            k = 0
+            for comp in range(d):
+                for b in range(nbv):
+                    sl = (comp,) + _vel_view_slices(wiring.vel_offs[c][b], m)
+                    yv = yv.at[sl].add(y_loc[k])
+                    k += 1
+        yv = pst.exchange_sum(pre_ps.fine, yv, tab=tab_f)
+        yv = yv * tab_f.free[None].astype(yv.dtype)
+        return pst.from_patch(pre_ps.fine, yv, space.n_vel, mode="owner")
+
+    return bt
+
+
 # ---------------------------------------------------------------------------
 # global packed-state wrappers (drop-in Jv for solvers.ns_solver)
 # ---------------------------------------------------------------------------

@@ -146,6 +146,7 @@ def newton_solve_stepped(
     pre_fn=None,
     jac_builder=None,
     jv_fn=None,
+    jv_from_m=False,
 ):
     """Host-stepped Newton: same semantics as newton_solve, but one Newton
     iteration per device execution (GMRES capped at cfg.lin_max_iters per
@@ -168,11 +169,14 @@ def newton_solve_stepped(
     step_jit_cache: per-problem dict to reuse compiled kernels across calls.
     jac_builder/jv_fn: assemble-once Jacobian (see newton_solve) - the
     assembly is traced INTO the step kernel (one device execution still).
+    jv_from_m=True instead takes the assembled blocks as the LAST element
+    of m_args (so pre_fn assembles them once per iterate and the
+    preconditioner can reuse them, e.g. for its B^T coupling).
     """
     default_M = M_fn is None
-    use_jac = jac_builder is not None and jv_fn is not None
+    use_jac = jv_fn is not None and (jac_builder is not None or jv_from_m)
     cache = step_jit_cache if step_jit_cache is not None else {}
-    key = ("newton_step", id(space), stab, cfg, default_M, use_jac)
+    key = ("newton_step", id(space), stab, cfg, default_M, use_jac, jv_from_m)
 
     if key not in cache:
 
@@ -187,7 +191,9 @@ def newton_solve_stepped(
                 Mx = lambda x: M_fn(x, *m_args)
             r = R(s)
             if use_jac:
-                jac_args = jac_builder(coords, s, visc)
+                jac_args = (
+                    m_args[-1] if jv_from_m else jac_builder(coords, s, visc)
+                )
                 Jv = lambda x: jv_fn(x, jac_args)
             else:
                 Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
@@ -487,7 +493,8 @@ def ns_pcd_precond_data(
 
 
 def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
-             fp_vals, mp, coords=None, visc=None, stab=0.0, vel_M=None):
+             fp_vals, mp, coords=None, visc=None, stab=0.0, vel_M=None,
+             bt_fn=None):
     """Block-TRIANGULAR NS preconditioner with a PCD Schur approximation.
 
     z_p = Mp^-1 Fp Ap^-1 r_p          (one scalar V-cycle for Ap^-1)
@@ -500,13 +507,17 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
     the affine pressure dependence of the momentum residual:
     B^T z_p = R_mom(0, z_p) - R_mom(0, 0), exact, one residual evaluation
     (Dirichlet rows cancel in the difference).  Requires coords/visc; when
-    omitted, falls back to the (weak) block-diagonal form."""
+    omitted, falls back to the (weak) block-diagonal form.  bt_fn
+    (ops.ns_patchjac.make_bt_fn closure over the assembled lattice blocks)
+    replaces the residual-evaluation trick with a stored-sub-block einsum."""
     from ..ops import sparsity
     from ..solvers import mg as mgmod
 
     pat = p_space.fine_pattern
-    triangular = coords is not None and visc is not None
-    if triangular:
+    triangular = bt_fn is not None or (coords is not None and visc is not None)
+    if bt_fn is not None:
+        bt = bt_fn
+    elif triangular:
         bt, _ = _bt_coupling(ns_space, coords, visc, stab, mp)
 
     def M(r):
@@ -555,7 +566,7 @@ def _bt_coupling(ns_space, coords, visc, stab, pdiag_dtype_ref):
 
 
 def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
-             coords=None, visc=None, stab=0.0):
+             coords=None, visc=None, stab=0.0, bt_fn=None):
     """Block preconditioner closure: velocity ~ one V-cycle on the
     nu-weighted conv-diff operator (on the once-refined P1 space), pressure
     ~ lumped mass / nu.  Replaces the reference's GMG+ComponentGaussSeidel
@@ -570,8 +581,10 @@ def ns_gmg_M(ns_space, pre_struct, pre_data, pdiag, vel_M=None,
     solve drop ~1.6x vs the block-diagonal form at equal final residual."""
     from ..solvers import mg as mgmod
 
-    triangular = coords is not None and visc is not None
-    if triangular:
+    triangular = bt_fn is not None or (coords is not None and visc is not None)
+    if bt_fn is not None:
+        bt = bt_fn
+    elif triangular:
         bt, _ = _bt_coupling(ns_space, coords, visc, stab, pdiag)
 
     def M(r):

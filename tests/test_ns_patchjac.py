@@ -69,6 +69,30 @@ def test_assembled_jacobian_matches_jvp(dim, num_refs):
     assert errt < 1e-12, f"JTv mismatch: rel err {errt}"
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_assembled_bt_matches_residual_trick(dim):
+    """make_bt_fn (stored velocity-pressure sub-blocks) must equal the
+    residual-difference B^T of solvers.ns_solver._bt_coupling."""
+    from admm_optim_tpu.solvers.ns_solver import _bt_coupling
+
+    hier, space, ps, pre_ps, tab_f, tab_c, coords = _setup(dim, 1)
+    visc = 0.05
+    rng = np.random.default_rng(1)
+    s0 = _random_state(space, rng)
+    zp = jnp.asarray(rng.normal(size=(space.n_pressure,)))
+
+    wiring = nsjac.build_wiring(ps)
+    W = nsjac.make_assemble_fn(space, ps, pre_ps, wiring)(coords, s0, visc)
+    bt_jac = nsjac.make_bt_fn(space, ps, pre_ps, wiring, tab_f)
+    ref_dummy = jnp.zeros((space.n_pressure,), coords.dtype)
+    bt_res, _ = _bt_coupling(space, coords, visc, 0.0, ref_dummy)
+
+    y = bt_jac(zp, W)
+    y_ref = bt_res(zp)
+    err = float(jnp.linalg.norm(y - y_ref) / jnp.linalg.norm(y_ref))
+    assert err < 1e-12, f"B^T mismatch: rel err {err}"
+
+
 def test_newton_with_assembled_jacobian_matches():
     """End to end: the stepped Newton solve with the assembled-Jacobian
     matvec converges to the same flow as the matrix-free path."""
