@@ -81,6 +81,13 @@ class ProblemConfig:
     # "auto": on when patch metadata exists and W fits ns_jac_mem_cap
     ns_assembled_jac: str = "auto"  # "auto" | "on" | "off"
     ns_jac_mem_cap: float = 6e9  # bytes of W above which auto falls back
+    # step-size control on ADMM failure: the 2D driver halves sigma
+    # (2d_admm.lua:1269) but the 3D driver halves the J' scaling
+    # (3d_admm.lua:1322).  Halving sigma TIGHTENS the gradient constraint
+    # (retries get strictly harder - measured on grids/box_3D_elongated it
+    # dead-ends step 1); halving scaling shrinks the step instead.  "auto"
+    # follows the reference's dimension-specific convention.
+    admm_failure_control: str = "auto"  # "auto" | "sigma" | "scaling"
     admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
 
@@ -669,9 +676,18 @@ class ObstacleShapeOpt:
                     st = self._admm(mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling))
                     jax.block_until_ready(st.u)
                 if bool(st.failed):
-                    sigma *= 0.5  # reference 2d:1269
-                    if verbose:
-                        print(f"step {step}: ADMM failed, sigma -> {sigma}")
+                    # 2d:1269 halves sigma; 3d:1322 halves scaling instead
+                    fc = cfg.admm_failure_control
+                    if fc == "auto":
+                        fc = "scaling" if cfg.dim == 3 else "sigma"
+                    if fc == "scaling":
+                        scaling *= 0.5
+                        if verbose:
+                            print(f"step {step}: ADMM failed, scaling -> {scaling}")
+                    else:
+                        sigma *= 0.5
+                        if verbose:
+                            print(f"step {step}: ADMM failed, sigma -> {sigma}")
                     continue
                 X_new = X + st.u.T
                 if float(self._min_det(X_new)) <= 0.0:

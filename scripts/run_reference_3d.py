@@ -43,8 +43,8 @@ from admm_optim_tpu.optim import admm
 
 cfg = ProblemConfig(
     dim=3, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
-    admm=admm.ADMMConfig(admm_steps=20, ns_max_its=6, tau=2.0,
-                         lin_max_iters=100),
+    admm=admm.ADMMConfig(admm_steps=40, ns_max_its=8, tau=2.0,
+                         lin_max_iters=250),
 )
 if not ON_CPU:
     cfg = f32_presets(cfg)

@@ -14,12 +14,15 @@ from admm_optim_tpu.solvers import ns_solver
 
 @pytest.fixture(scope="module")
 def result():
+    # budgets sized for step 1 on the deformed mesh at sigma=0.3: the 3D
+    # failure convention halves SCALING (3d_admm.lua:1322), so the ADMM must
+    # actually converge at the nominal sigma (measured: 31 iterations)
     cfg = ProblemConfig(
         dim=3,
         num_refs=0,
         visc=0.1,
         sigma_threshold=0.3,
-        admm=admm.ADMMConfig(admm_steps=30, ns_max_its=8, tau=2.0, lin_max_iters=100),
+        admm=admm.ADMMConfig(admm_steps=60, ns_max_its=10, tau=2.0, lin_max_iters=400),
         ns=ns_solver.NewtonConfig(lin_max_iters=1200, lin_restart=100),
     )
     prob = ObstacleShapeOpt(cfg)
