@@ -289,6 +289,13 @@ class ObstacleShapeOpt:
             self._assemble = lambda X: self.def_space.assemble_mg(
                 self.struct, X, a.c_eps, a.tau, a.c_mass
             )
+        # level-k patchset for the NS-side lattice operators (assembled
+        # Jacobian + patch PCD); shared with the ADMM backend when present
+        if self.use_patch_ns:
+            from ..core.patches import build_patchset as _bps_k
+
+            self._ps_k = self.patchset if self.use_patch else _bps_k(hier)
+
         # ---- assembled lattice NS Jacobian (ops.ns_patchjac) --------------
         self.use_ns_jac = (
             self.use_patch_ns
@@ -296,11 +303,10 @@ class ObstacleShapeOpt:
             and cfg.ns_assembled_jac != "off"
         )
         if self.use_ns_jac:
-            from ..core.patches import build_patchset as _bps_j
             from ..ops import ns_patchjac as _nsjac
             from ..solvers import patch_mg as _pmg_j
 
-            _ps_k = self.patchset if self.use_patch else _bps_j(hier)
+            _ps_k = self._ps_k
             _wiring = _nsjac.build_wiring(_ps_k)
             _isz = jnp.asarray(lvl.coords).dtype.itemsize
             _need = _nsjac.jac_memory_bytes(_ps_k, _wiring, _isz)
@@ -385,25 +391,82 @@ class ObstacleShapeOpt:
             self.p_space, self.p_struct = ns_solver.ns_pcd_spaces(
                 hier, cfg.do_nothing
             )
+            if self.use_patch_ns:
+                # patch-backend PCD: Ap hierarchy + fine Fp stencil assemble
+                # and apply gather-free on the level-k lattice
+                from ..ops.convdiff import convdiff_elem_mats as _cd_p
+                from ..ops import sparsity as _sp_p
+                from ..solvers import patch_mg as _pmg_p
 
-            def _ns_pre(X, s=None, adjoint=False, nu=None):
-                pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint, nu=nu)
-                pcd = ns_solver.ns_pcd_precond_data(
-                    self.ns_space, self.p_space, self.p_struct, X,
-                    cfg.visc if nu is None else nu, s=s, adjoint=adjoint,
+                _cdtype = jnp.asarray(lvl.coords).dtype
+                self._pcd_tabs = ns_solver.pcd_patch_tables(
+                    hier, self._ps_k, _cdtype
                 )
-                return (pre_data,) + pcd + (X,)
+                self._pcd_struct_p = _pmg_p.PatchMGStructure(
+                    self._ps_k, pre_smooth=2, post_smooth=2, smoother="jacobi"
+                )
+                _p_pat0 = self.p_space.patterns[0]
+                _p_fixed0 = np.asarray(self.p_space.fixed[0])
+                _p_elems0 = jnp.asarray(hier.levels[0].elems)
+                _dd = cfg.dim
 
-            def _M_fn(r, pre_data, ap_data, fp_vals, mp, X, W=None):
-                bt_fn = (
-                    (lambda zp: self._ns_bt(zp, W)) if W is not None else None
-                )
-                return ns_solver.ns_pcd_M(
-                    self.ns_space, self.pre_struct, pre_data, self.p_space,
-                    self.p_struct, ap_data, fp_vals, mp,
-                    coords=X, visc=cfg.visc, stab=cfg.stab,
-                    vel_M=_vel_M(pre_data), bt_fn=bt_fn,
-                )(r)
+                def _ap_base_dense(arg):  # (V0, 2d) stacked [coords | w]
+                    c0, w0 = arg[:, :_dd], arg[:, _dd:].T
+                    em = _cd_p(c0, _p_elems0, w0, 1.0, ncomp=1)
+                    v0 = _sp_p.assemble_values(_p_pat0, em)
+                    v0 = _sp_p.bake_dirichlet(
+                        _p_pat0, v0, jnp.asarray(_p_fixed0)
+                    )
+                    return jnp.linalg.inv(_sp_p.to_dense(_p_pat0, v0))
+
+                def _ns_pre(X, s=None, adjoint=False, nu=None):
+                    pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint, nu=nu)
+                    pcd = ns_solver.ns_pcd_precond_data_patch(
+                        self.ns_space, self._ps_k, self._pcd_struct_p,
+                        self._pcd_tabs, _ap_base_dense, X,
+                        cfg.visc if nu is None else nu, s=s, adjoint=adjoint,
+                    )
+                    return (pre_data,) + pcd + (X,)
+
+                def _M_fn(r, pre_data, ap_data, W_fp, mp, X, W=None):
+                    bt_fn = (
+                        (lambda zp: self._ns_bt(zp, W))
+                        if W is not None
+                        else None
+                    )
+                    schur_fn = ns_solver.pcd_schur_patch_M(
+                        self.ns_space, self._ps_k, self._pcd_struct_p,
+                        self._pcd_tabs, ap_data, W_fp, mp,
+                    )
+                    return ns_solver.ns_pcd_M(
+                        self.ns_space, self.pre_struct, pre_data, None,
+                        None, None, None, mp,
+                        coords=X, visc=cfg.visc, stab=cfg.stab,
+                        vel_M=_vel_M(pre_data), bt_fn=bt_fn,
+                        schur_fn=schur_fn,
+                    )(r)
+            else:
+
+                def _ns_pre(X, s=None, adjoint=False, nu=None):
+                    pre_data, _ = _vel_pre(X, s=s, adjoint=adjoint, nu=nu)
+                    pcd = ns_solver.ns_pcd_precond_data(
+                        self.ns_space, self.p_space, self.p_struct, X,
+                        cfg.visc if nu is None else nu, s=s, adjoint=adjoint,
+                    )
+                    return (pre_data,) + pcd + (X,)
+
+                def _M_fn(r, pre_data, ap_data, fp_vals, mp, X, W=None):
+                    bt_fn = (
+                        (lambda zp: self._ns_bt(zp, W))
+                        if W is not None
+                        else None
+                    )
+                    return ns_solver.ns_pcd_M(
+                        self.ns_space, self.pre_struct, pre_data, self.p_space,
+                        self.p_struct, ap_data, fp_vals, mp,
+                        coords=X, visc=cfg.visc, stab=cfg.stab,
+                        vel_M=_vel_M(pre_data), bt_fn=bt_fn,
+                    )(r)
         else:
 
             def _ns_pre(X, s=None, adjoint=False, nu=None):

@@ -492,9 +492,92 @@ def ns_pcd_precond_data(
     return ap_data, fp_vals, jnp.maximum(mp, 1e-30)
 
 
+def pcd_patch_tables(hier, ps, dtype=jnp.float32):
+    """Level tables for the SCALAR pressure space on the level-k patchset,
+    with the PCD inlet-Dirichlet free masks (ns_pcd_spaces) instead of the
+    patchset's own.  Exchange/ownership tables are Dirichlet-independent,
+    so only `free` is rebuilt from the level gids."""
+    import dataclasses as _dc
+
+    import numpy as _np
+
+    from . import patch_mg as pmg
+
+    tabs = pmg.make_level_tables(ps, dtype)
+    out = []
+    for l, lvl in enumerate(ps.levels):
+        fixed = hier.levels[l].vertex_mask(("inlet",))
+        free = _np.moveaxis(~fixed[_np.asarray(lvl.gid)], 0, -1)
+        out.append(_dc.replace(tabs[l], free=jnp.asarray(free, dtype)))
+    return out
+
+
+def ns_pcd_precond_data_patch(
+    ns_space, ps, p_struct_p, p_tabs, ap_base_dense_fn, coords, visc,
+    s=None, adjoint=False,
+):
+    """Patch-backend (brick-lattice stencil) PCD Schur data: the pressure
+    Poisson hierarchy Ap and the fine-level pressure convection-diffusion
+    stencil Fp assemble gather-free on the level-k lattice (pressure P1
+    dofs ARE the level-k lattice sites), replacing the block-ELL assembly
+    + SpMV of ns_pcd_precond_data.  Returns (ap_data, W_fp, mp)."""
+    from ..ops import patchstencil as pst
+    from ..ops.convdiff import convdiff_corner_mats
+    from . import patch_mg as pmg
+
+    d = ns_space.dim
+    if s is None:
+        w = jnp.zeros((d, ns_space.n_vel), coords.dtype)
+    else:
+        w, _ = ns_space.unpack(s)
+        w = -w if adjoint else w
+    w_p1 = w[:, : ns_space.n_vertices]
+    # Ap: unit-nu pressure Laplacian hierarchy (w=0 => art_diff adds 0)
+    cw_ap = jnp.concatenate([coords.T, jnp.zeros_like(w_p1)], axis=0)
+    ap_data = pmg.assemble_patch_mg_p(
+        ps, p_struct_p, pst.to_patch(ps.fine, cw_ap),
+        lambda c: convdiff_corner_mats(c, 1.0, ncomp=1),
+        ap_base_dense_fn, p_tabs,
+    )
+    # Fp: plain Galerkin pressure convection-diffusion at the frozen w,
+    # fine level only (applied once per preconditioner application)
+    cw_fp = jnp.concatenate([coords.T, w_p1], axis=0)
+    W_fp = pst.assemble_w(
+        ps, ps.k, pst.to_patch(ps.fine, cw_fp),
+        lambda c: convdiff_corner_mats(c, visc, art_diff=False, ncomp=1),
+        free=p_tabs[-1].free,
+    )
+    mp = jnp.maximum(nsops.pressure_mass_lumped(ns_space, coords, 1.0), 1e-30)
+    return ap_data, W_fp, mp
+
+
+def pcd_schur_patch_M(ns_space, ps, p_struct_p, p_tabs, ap_data, W_fp, mp):
+    """S^-1 ~= Mp^-1 Fp Ap^-1 on the patch backend; global (n_p,) in/out."""
+    from ..ops import patchstencil as pst
+    from . import patch_mg as pmg
+
+    tab = p_tabs[-1]
+
+    def S_inv(rp):
+        rp_p = pst.to_patch(ps.fine, rp[None])
+        free = tab.free[None].astype(rp_p.dtype)
+        # Dirichlet rows of Ap and Fp are identity (the ELL bake_dirichlet
+        # semantics): the PCD inlet constraint exists only INSIDE the Schur
+        # surrogate - the true pressure rows are divergence rows, so the
+        # fixed components must pass through, not vanish (a zeroed subspace
+        # makes the preconditioner singular there and stalls GMRES)
+        yp = pmg.vcycle_p(p_struct_p, ap_data, rp_p * free) + rp_p * (1.0 - free)
+        z = pst.exchange_sum(ps.fine, pst.apply_w(ps, W_fp, yp), tab=tab)
+        z = z + yp * (1.0 - free)
+        zp = pst.from_patch(ps.fine, z, ns_space.n_pressure, mode="owner")
+        return zp[0] / mp
+
+    return S_inv
+
+
 def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
              fp_vals, mp, coords=None, visc=None, stab=0.0, vel_M=None,
-             bt_fn=None):
+             bt_fn=None, schur_fn=None):
     """Block-TRIANGULAR NS preconditioner with a PCD Schur approximation.
 
     z_p = Mp^-1 Fp Ap^-1 r_p          (one scalar V-cycle for Ap^-1)
@@ -513,7 +596,7 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
     from ..ops import sparsity
     from ..solvers import mg as mgmod
 
-    pat = p_space.fine_pattern
+    pat = p_space.fine_pattern if p_space is not None else None
     triangular = bt_fn is not None or (coords is not None and visc is not None)
     if bt_fn is not None:
         bt = bt_fn
@@ -522,8 +605,11 @@ def ns_pcd_M(ns_space, pre_struct, pre_data, p_space, p_struct, ap_data,
 
     def M(r):
         rv, rp = ns_space.unpack(r)
-        yp = mgmod.vcycle(p_struct, ap_data, rp)
-        zp = sparsity.spmv_flat(pat, fp_vals, yp) / mp
+        if schur_fn is not None:
+            zp = schur_fn(rp)  # patch-backend Mp^-1 Fp Ap^-1
+        else:
+            yp = mgmod.vcycle(p_struct, ap_data, rp)
+            zp = sparsity.spmv_flat(pat, fp_vals, yp) / mp
         if triangular:
             rv = rv - bt(zp)
         if vel_M is not None:

@@ -93,6 +93,51 @@ def test_assembled_bt_matches_residual_trick(dim):
     assert err < 1e-12, f"B^T mismatch: rel err {err}"
 
 
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pcd_patch_fp_matches_ell(dim):
+    """The patch-assembled pressure convection-diffusion stencil Fp equals
+    the block-ELL assembly of ns_pcd_precond_data (on the free subspace)."""
+    from admm_optim_tpu.ops import patchstencil as pst
+    from admm_optim_tpu.ops import sparsity
+    from admm_optim_tpu.ops.convdiff import convdiff_corner_mats, convdiff_elem_mats
+    from admm_optim_tpu.solvers import ns_solver
+
+    hier, space, ps, pre_ps, tab_f, tab_c, coords = _setup(dim, 1)
+    lvl = hier.fine
+    visc = 0.05
+    rng = np.random.default_rng(2)
+    w_p1 = jnp.asarray(rng.normal(size=(dim, lvl.num_vertices)))
+
+    p_space, _ = ns_solver.ns_pcd_spaces(hier)
+    pat = p_space.fine_pattern
+    em = convdiff_elem_mats(
+        coords, jnp.asarray(lvl.elems), w_p1, visc, art_diff=False, ncomp=1
+    )
+    vals = sparsity.bake_dirichlet(
+        pat, sparsity.assemble_values(pat, em), jnp.asarray(p_space.fixed[-1])
+    )
+
+    p_tabs = ns_solver.pcd_patch_tables(hier, ps, coords.dtype)
+    cw = jnp.concatenate([coords.T, w_p1], axis=0)
+    W_fp = pst.assemble_w(
+        ps, ps.k, pst.to_patch(ps.fine, cw),
+        lambda c: convdiff_corner_mats(c, visc, art_diff=False, ncomp=1),
+        free=p_tabs[-1].free,
+    )
+
+    free_g = jnp.asarray(~lvl.vertex_mask(("inlet",)), coords.dtype)
+    x = jnp.asarray(rng.normal(size=(lvl.num_vertices,))) * free_g
+    y_ell = sparsity.spmv_flat(pat, vals, x) * free_g
+    y_p = pst.exchange_sum(
+        ps.fine, pst.apply_w(ps, W_fp, pst.to_patch(ps.fine, x[None])),
+        tab=p_tabs[-1],
+    )
+    y_patch = pst.from_patch(ps.fine, y_p, lvl.num_vertices, mode="owner")[0]
+    y_patch = y_patch * free_g
+    err = float(jnp.linalg.norm(y_patch - y_ell) / jnp.linalg.norm(y_ell))
+    assert err < 1e-12, f"Fp mismatch: {err}"
+
+
 def test_newton_with_assembled_jacobian_matches():
     """End to end: the stepped Newton solve with the assembled-Jacobian
     matvec converges to the same flow as the matrix-free path."""
