@@ -210,6 +210,13 @@ def newton_xupdate_ops(
         g = ops_.constraints(u, ref_volume, ref_barycenter)
         B = ops_.constraint_grads(u, ref_volume, ref_barycenter)
         Lu = (ops_.A(u) + r_lin + jnp.tensordot(Lambda, B, axes=1)) * free
+        if extra_hvp is not None:
+            # -b2ndOrder: the J'' term is part of the x-update OPERATOR in
+            # the reference (DeformationEquation set_second_order,
+            # 2d_admm.lua:389), so its defect carries J''.u - the term must
+            # appear in the stationarity residual, not only in hess_apply,
+            # or Newton converges to the unmodified first-order point
+            Lu = Lu + extra_hvp(u * free) * free
 
         rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, ...)
         sols, nlin, ok = solve_h(u, Lambda, rhs)
