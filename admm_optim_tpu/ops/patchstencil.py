@@ -578,6 +578,36 @@ class SpmdCtx:
     nshards: int
 
 
+def compute_halo_deltas(lvl: PatchLevel, nshards: int) -> tuple | None:
+    """Static shard-offset sets for point-to-point halo exchange.
+
+    With device d owning the contiguous patch block [d*Pl, (d+1)*Pl), the
+    axis-a face neighbors of a shard's patches live on a SMALL static set of
+    neighbor shards (typically {0, +-1}; at most a couple when the patch-grid
+    stride along a exceeds Pl).  Returns, per lattice axis, a pair
+    (lo_deltas, hi_deltas) of sorted int tuples - the shard offsets
+    delta = shard(neighbor) - shard(self) observed over valid face entries -
+    or None when the slab tables are absent / P is not shard-divisible.
+    Consumed by _exchange_slab_spmd_pp: one lax.ppermute per nonzero delta
+    replaces the all-gather of the face slab over every device."""
+    if not lvl.use_slab or nshards <= 1 or lvl.P % nshards:
+        return None
+    Pl = lvl.P // nshards
+    my_shard = np.arange(lvl.P, dtype=np.int64) // Pl
+    out = []
+    for a in range(lvl.face_nbr.shape[0]):
+        sides = []
+        for sd in range(2):
+            valid = lvl.face_mask[a, sd] > 0
+            d = np.unique(
+                lvl.face_nbr[a, sd][valid].astype(np.int64) // Pl
+                - my_shard[valid]
+            )
+            sides.append(tuple(int(v) for v in d))
+        out.append(tuple(sides))
+    return tuple(out)
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class LevelTables:
@@ -617,6 +647,9 @@ class LevelTables:
     corr_nseg: int = 0
     use_slab: bool = False
     P_total: int = 0
+    # static per-axis ((lo_deltas, hi_deltas), ...) shard offsets for the
+    # point-to-point halo path (compute_halo_deltas); None = all-gather path
+    halo_deltas: tuple | None = None
 
     def tree_flatten(self):
         children = (
@@ -625,7 +658,10 @@ class LevelTables:
             self.bslots, self.bseg, self.gid,
             self.dfg_idx, self.dfg_mask, self.dfg_slot,
         )
-        return children, (self.nseg, self.corr_nseg, self.use_slab, self.P_total)
+        return children, (
+            self.nseg, self.corr_nseg, self.use_slab, self.P_total,
+            self.halo_deltas,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -655,7 +691,9 @@ def _df_group_tables(lvl: PatchLevel):
     return idx, mask, slot_group
 
 
-def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
+def make_tables(
+    lvl: PatchLevel, dtype=jnp.float32, nshards: int | None = None
+) -> LevelTables:
     slab = lvl.use_slab
     dfg_idx, dfg_mask, dfg_slot = _df_group_tables(lvl)
     return LevelTables(
@@ -686,6 +724,7 @@ def make_tables(lvl: PatchLevel, dtype=jnp.float32) -> LevelTables:
         corr_nseg=lvl.corr_nseg,
         use_slab=slab,
         P_total=lvl.P,
+        halo_deltas=compute_halo_deltas(lvl, nshards) if nshards else None,
     )
 
 
@@ -766,34 +805,60 @@ def _exchange_slab(tab: LevelTables, x):
 def _exchange_slab_spmd(tab: LevelTables, x, spmd: SpmdCtx):
     """Halo-exchange slab sweep for a patch-sharded x (inside shard_map).
 
-    Identical arithmetic to _exchange_slab: per lattice axis, both face
-    slabs are all-gathered over the mesh axis (this is the halo traffic;
-    everything else is shard-local), then each local patch adds its
-    neighbor's opposite slab.  The correction pass psums the Bc
-    staircase-broken edge/corner values (replicated small vector)."""
+    Identical arithmetic to _exchange_slab.  Per lattice axis the two face
+    slabs travel over the mesh axis (the only halo traffic; everything else
+    is shard-local) in one of two ways:
+      * point-to-point (tab.halo_deltas set): one lax.ppermute per static
+        neighbor-shard offset - O(|deltas|) slabs of ICI traffic, the
+        MPI-neighbor-exchange analogue;
+      * all-gather fallback (halo_deltas None): gather the slab across all
+        shards - O(nshards) traffic, kept for tables built without a shard
+        count.
+    The correction pass psums the Bc staircase-broken edge/corner values
+    (replicated small vector)."""
     dim = x.ndim - 2  # (C, *lat, P_local)
-    C = x.shape[0]
     lat = x.shape[1 : 1 + dim]
     Pl = x.shape[-1]
     off = _shard_offset(tab, Pl, spmd)
     nbr = tab.face_nbr  # (dim, 2, P) global, replicated
     mask = tab.face_mask.astype(x.dtype)
     x_in = x
+    pp = tab.halo_deltas is not None
+    shard_id = jax.lax.axis_index(spmd.axis) if pp else None
     for a in range(dim):
         lo = [slice(None)] * (dim + 2)
         hi = [slice(None)] * (dim + 2)
         lo[1 + a], hi[1 + a] = 0, lat[a] - 1
         lo, hi = tuple(lo), tuple(hi)
         slab_lo, slab_hi = x[lo], x[hi]  # (C, *rest, Pl)
-        lo_all = jax.lax.all_gather(slab_lo, spmd.axis, axis=slab_lo.ndim - 1, tiled=True)
-        hi_all = jax.lax.all_gather(slab_hi, spmd.axis, axis=slab_hi.ndim - 1, tiled=True)
         nbr_lo = jax.lax.dynamic_slice_in_dim(nbr[a, 0], off, Pl, axis=0)
         nbr_hi = jax.lax.dynamic_slice_in_dim(nbr[a, 1], off, Pl, axis=0)
         m_lo = jax.lax.dynamic_slice_in_dim(mask[a, 0], off, Pl, axis=0)
         m_hi = jax.lax.dynamic_slice_in_dim(mask[a, 1], off, Pl, axis=0)
-        new_lo = slab_lo + hi_all[..., nbr_lo] * m_lo
-        new_hi = slab_hi + lo_all[..., nbr_hi] * m_hi
-        x = x.at[lo].set(new_lo).at[hi].set(new_hi)
+        if pp:
+            # point-to-point: one ppermute per static neighbor-shard offset
+            # (compute_halo_deltas) - O(|deltas|) slabs over ICI instead of
+            # the O(nshards) all-gather
+            d_lo, d_hi = tab.halo_deltas[a]
+            add_lo = _pp_neighbor_vals(
+                slab_hi, nbr_lo, d_lo, Pl, shard_id, spmd
+            )
+            add_hi = _pp_neighbor_vals(
+                slab_lo, nbr_hi, d_hi, Pl, shard_id, spmd
+            )
+        else:
+            lo_all = jax.lax.all_gather(
+                slab_lo, spmd.axis, axis=slab_lo.ndim - 1, tiled=True
+            )
+            hi_all = jax.lax.all_gather(
+                slab_hi, spmd.axis, axis=slab_hi.ndim - 1, tiled=True
+            )
+            add_lo = hi_all[..., nbr_lo]
+            add_hi = lo_all[..., nbr_hi]
+        x = x.at[lo].set(slab_lo + add_lo * m_lo).at[hi].set(
+            slab_hi + add_hi * m_hi
+        )
+    C = x.shape[0]
     if tab.corr_nseg:
         lat_idx = tab.corr_idx[:-1]
         pch = tab.corr_idx[-1]  # (Bc,) global patch ids
@@ -813,6 +878,27 @@ def _exchange_slab_spmd(tab: LevelTables, x, spmd: SpmdCtx):
             dense = sums0[:, sm_loc]  # (C, *slab, Pl) gather
             x = x.at[sl].set(jnp.where((sm_loc > 0)[None], dense, x[sl]))
     return x
+
+
+def _pp_neighbor_vals(slab_src, nbr_idx, deltas, Pl, shard_id, spmd):
+    """sum over static shard offsets d of
+    ppermute(slab_src from shard i+d)[..., nbr % Pl] * (nbr // Pl == i+d).
+    Masked (invalid-neighbor) entries contribute garbage here and are zeroed
+    by the caller's face mask."""
+    n_mod = nbr_idx % Pl
+    n_shard = (nbr_idx // Pl).astype(jnp.int32)
+    D = spmd.nshards
+    out = None
+    for d in deltas:
+        if d == 0:
+            recv = slab_src
+        else:
+            perm = [(j, j - d) for j in range(D) if 0 <= j - d < D]
+            recv = jax.lax.ppermute(slab_src, spmd.axis, perm)
+        sel = (n_shard == shard_id + d).astype(slab_src.dtype)
+        term = recv[..., n_mod] * sel
+        out = term if out is None else out + term
+    return jnp.zeros_like(slab_src) if out is None else out
 
 
 def _exchange_segsum_spmd(tab: LevelTables, x, spmd: SpmdCtx):

@@ -105,6 +105,9 @@ class ShardedPatchMG:
             corr_nseg=lvl.corr_nseg,
             use_slab=lvl.use_slab,
             P_total=lvl.P,
+            # static aux must match make_tables' (pytree equality under
+            # shard_map in_specs / tree_map placement)
+            halo_deltas=st.compute_halo_deltas(lvl, self.n_shards),
         )
 
     def field_spec(self, extra_leading: int = 1) -> P:
@@ -131,7 +134,7 @@ class ShardedPatchMG:
 
     def make_tables(self, dtype=jnp.float32):
         """Device tables placed according to table_specs."""
-        tabs = pmg.make_level_tables(self.ps, dtype)
+        tabs = pmg.make_level_tables(self.ps, dtype, nshards=self.n_shards)
         out = []
         for l, tab in enumerate(tabs):
             spec = self.table_specs(l)

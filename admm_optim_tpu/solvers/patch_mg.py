@@ -116,9 +116,63 @@ def estimate_lmax_p(ps, tab, W, inv_diag, iters: int = 15, spmd=None):
     )
 
 
-def make_level_tables(ps: PatchSet, dtype=jnp.float32):
-    """Device tables for every level (do this OUTSIDE jit, once)."""
-    return [st.make_tables(lvl, dtype) for lvl in ps.levels]
+def make_level_tables(ps: PatchSet, dtype=jnp.float32, nshards: int | None = None):
+    """Device tables for every level (do this OUTSIDE jit, once).  nshards
+    (sharded path) enables the static point-to-point halo-delta tables."""
+    return [st.make_tables(lvl, dtype, nshards=nshards) for lvl in ps.levels]
+
+
+def vcycle_cost_table(
+    struct: PatchMGStructure, data: PatchMGData, hbm_gbps: float = 819.0
+) -> str:
+    """Per-level V-cycle cost table (the reference's ProfileLUA cost
+    accounting analogue, 2d_admm.lua:14): exact HBM bytes + flops per level
+    per cycle from the assembled stencil shapes, with a bandwidth-roofline
+    time estimate.  hbm_gbps defaults to a v5e chip (~819 GB/s).
+
+    Per level: (pre+post) Chebyshev smoothing degrees + 1 residual apply,
+    each apply streaming W once plus x/y; transfers are C*S*P each and
+    negligible.  Sym-stored levels stream half the W bytes at full-stencil
+    flops (patchstencil.half_slots)."""
+    rows = []
+    tot_gb = tot_gf = 0.0
+    n_apply = struct.pre_smooth + struct.post_smooth + 1
+    for l, W in enumerate(data.W):
+        if W.ndim >= 5:
+            O, C = W.shape[0], W.shape[1]
+            lat = W.shape[3:-1]
+            P = W.shape[-1]
+        else:  # pragma: no cover - defensive
+            continue
+        S = int(np.prod(lat)) if lat else 1
+        b = W.dtype.itemsize
+        sym = O < len(struct.ps.stencil)
+        O_full = len(struct.ps.stencil)
+        w_bytes = O * C * C * S * P * b
+        xy_bytes = 2 * C * S * P * b
+        gb = n_apply * (w_bytes + xy_bytes) / 1e9
+        gf = n_apply * 2.0 * O_full * C * C * S * P / 1e9
+        tot_gb += gb
+        tot_gf += gf
+        rows.append(
+            (l, "x".join(map(str, lat)), P, C, O, "sym" if sym else "full",
+             w_bytes / 2**20, gb, gf, gb / hbm_gbps * 1e3)
+        )
+    hdr = (
+        f"{'lvl':>3} {'lat':>12} {'P':>6} {'C':>2} {'O':>3} {'store':>5} "
+        f"{'W[MiB]':>9} {'GB/cyc':>8} {'GF/cyc':>8} {'roofln[ms]':>10}"
+    )
+    lines = [hdr]
+    for r in rows:
+        lines.append(
+            f"{r[0]:>3} {r[1]:>12} {r[2]:>6} {r[3]:>2} {r[4]:>3} {r[5]:>5} "
+            f"{r[6]:>9.2f} {r[7]:>8.4f} {r[8]:>8.3f} {r[9]:>10.3f}"
+        )
+    lines.append(
+        f"total: {tot_gb:.4f} GB, {tot_gf:.3f} GFLOP per V-cycle; "
+        f"roofline {tot_gb / hbm_gbps * 1e3:.3f} ms @ {hbm_gbps:.0f} GB/s"
+    )
+    return "\n".join(lines)
 
 
 def assemble_patch_mg_p(

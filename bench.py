@@ -187,6 +187,7 @@ def run_size(num_refs):
     data = assemble(coords, tabs)
     float(data.lmax[-1])  # fetch forces completion through the axon tunnel
     log(f"refs={num_refs}: assembly (incl compile): {time.perf_counter() - t0:.2f}s; dofs={n_dofs}")
+    log(patch_mg.vcycle_cost_table(struct, data))
 
     rng = np.random.default_rng(0)
     b_g = jnp.asarray(rng.normal(size=(hier.dim, fine.num_vertices)), coords.dtype)

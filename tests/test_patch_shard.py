@@ -74,6 +74,48 @@ def test_sharded_exchange_matches(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_halo_ppermute_matches_allgather(dim, refs):
+    """The point-to-point halo sweep (static shard-delta ppermutes) and the
+    all-gather fallback produce identical consistent vectors; both match the
+    single-device exchange (checked on every level incl. coarse)."""
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    sh = build_sharded_mg(ps, _mesh())
+    ps_pad = sh.ps
+    for l, lvl in enumerate(ps_pad.levels):
+        deltas = st.compute_halo_deltas(lvl, N_DEV)
+        assert deltas is not None
+        # contiguous-block sharding: few distinct neighbor shards per face
+        for ax in deltas:
+            for side in ax:
+                assert len(side) <= 4
+        shape = (ps_pad.dim,) + lvl.lat_shape + (lvl.P,)
+        x = jax.random.normal(jax.random.PRNGKey(l), shape, jnp.float64)
+        ref = st.exchange_sum(None, x, st.make_tables(lvl, x.dtype))
+        fs = sh.field_spec()
+        tab_pp = st.make_tables(lvl, x.dtype, nshards=N_DEV)
+        tab_ag = st.make_tables(lvl, x.dtype)  # halo_deltas=None -> all-gather
+        for tab in (tab_pp, tab_ag):
+            spec = sh.table_specs(l)
+            spec = type(spec)(
+                **{**spec.__dict__, "halo_deltas": tab.halo_deltas}
+            )
+            f = jax.jit(
+                jax.shard_map(
+                    lambda t, v: st.exchange_sum(None, v, t, spmd=sh.spmd),
+                    mesh=sh.mesh,
+                    in_specs=(spec, fs),
+                    out_specs=fs,
+                    check_vma=False,
+                )
+            )
+            got = f(tab, sh.to_patch_sharded_raw(x))
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(ref), rtol=0, atol=1e-12
+            )
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
 def test_sharded_mg_solve_matches(dim, refs):
     hier = _hier(dim, refs)
     ps_raw = build_patchset(hier)
