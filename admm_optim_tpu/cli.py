@@ -27,6 +27,12 @@ def build_parser() -> argparse.ArgumentParser:
     a("-admmSteps", type=int, default=1000)
     a("-visc", type=float, default=0.02)
     a("-stab", type=float, default=0.0)
+    a("-stabType", type=float, default=0.0,
+      help="parsed for reference-CLI parity (2d:48); the stabilized P1/P1 "
+           "discretization here is always Brezzi-Pitkaranta")
+    a("-control", type=float, default=1.0,
+      help="reference's p-term control (2d:55) - vestigial there (constant "
+           "p=2, 2d:908) and here; parsed for CLI parity")
     a("-sigma_threshold", type=float, default=0.3)
     a("-scaling", type=float, default=1.0)
     a("-admm_tolerance", type=float, default=1e-2)
@@ -38,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
     a("-nsMaxIts", type=int, default=10)
     a("-nsTol", type=float, default=1e-9)
     a("-nsAbsLuTol", type=float, default=1e-12)
+    a("-nsAbsLlambdaTol", type=float, default=1e-12)
+    a("-nsRelLuTol", type=float, default=1e-12)
+    a("-nsRelLlambdaTol", type=float, default=1e-12)
+    a("-lambda_vol", type=float, default=0.0)
+    a("-lambda_x", type=float, default=0.0)
+    a("-lambda_y", type=float, default=0.0)
+    a("-lambda_z", type=float, default=0.0)
     a("-grid", type=str, default=None, help=".ugx grid file (default: generated)")
     a("-bDoNothing", type=int, default=1)
     a("-b2ndOrder", type=int, default=0)
@@ -53,6 +66,16 @@ def build_parser() -> argparse.ArgumentParser:
     a("-x64", action="store_true", help="run in float64 on CPU")
     a("-restart", type=str, default=None, help="checkpoint file to resume from")
     a("-bOutputMesh", type=int, default=1)
+    a("-bOutputFlows", type=int, default=0,
+      help="write flow velocity into the per-step VTU (2d:77)")
+    a("-bOutputPressure", type=int, default=0)
+    a("-bOutputAdjoints", type=int, default=0)
+    a("-bDebugSensitivity", type=int, default=0,
+      help="write the shape gradient J' into the per-step VTU (2d:82)")
+    a("-bNewtonOutput", type=int, default=0,
+      help="print per-step NS/x-update iteration detail (2d:75)")
+    a("-bSaveFailures", type=int, default=1,
+      help="catalogue non-descent steps to __Failure_Data.txt (2d:87)")
     a("-bActivateProfiler", type=int, default=0)
     a("-verbose", type=int, default=1)
     return p
@@ -106,6 +129,15 @@ def main(argv=None) -> int:
             ns_max_its=args.nsMaxIts,
             ns_tol=args.nsTol,
             ns_abs_tol=args.nsAbsLuTol,
+            ns_abs_llambda_tol=args.nsAbsLlambdaTol,
+            ns_rel_tol=args.nsRelLuTol,
+            ns_rel_llambda_tol=args.nsRelLlambdaTol,
+            lambda_init=(
+                (args.lambda_vol, args.lambda_x, args.lambda_y)
+                + ((args.lambda_z,) if args.dim == 3 else ())
+                if (args.lambda_vol or args.lambda_x or args.lambda_y or args.lambda_z)
+                else ()
+            ),
         ),
         ns=NewtonConfig(),
     )
@@ -126,17 +158,41 @@ def main(argv=None) -> int:
         start_state = load_checkpoint(args.restart)
         print(f"resuming from {args.restart} at step {start_state['step']}")
 
-    if args.bOutputMesh:
+    want_vtu = (
+        args.bOutputMesh or args.bOutputFlows or args.bOutputPressure
+        or args.bOutputAdjoints or args.bDebugSensitivity
+    )
+    if want_vtu:
         from .io.vtk import write_vtu
 
         def callback(step, X, s, rec):
             import numpy as np
 
+            V = prob.hier.fine.num_vertices
+            pd = {"u": np.asarray(X - prob.X0)}
+            if args.bOutputFlows or args.bOutputPressure:
+                v, p = prob.ns_space.unpack(s)
+                if args.bOutputFlows:  # P2 nodes are vertex-first
+                    pd["v"] = np.asarray(v[:, :V].T)
+                if args.bOutputPressure:
+                    pd["p"] = np.asarray(p)
+            if args.bOutputAdjoints and prob._cur_lam_adj is not None:
+                q, h = prob.ns_space.unpack(prob._cur_lam_adj)
+                pd["q_adj"] = np.asarray(q[:, :V].T)
+                pd["h_adj"] = np.asarray(h)
+            if args.bDebugSensitivity and getattr(prob, "_cur_Jp", None) is not None:
+                pd["jprime"] = np.asarray(prob._cur_Jp.T)
+            if args.bNewtonOutput:
+                print(
+                    f"  [newton] step {step}: x-update newton={rec.newton_iters} "
+                    f"krylov={rec.lin_iters} admm={rec.admm_iters} "
+                    f"attempts={rec.attempts}"
+                )
             write_vtu(
                 f"{args.outDir}/mesh_step_{step:04d}.vtu",
                 np.asarray(X),
                 np.asarray(prob.elems),
-                point_data={"u": np.asarray(X - prob.X0)},
+                point_data=pd,
             )
     else:
         callback = None
@@ -154,6 +210,7 @@ def main(argv=None) -> int:
         resume=start_state,
         checkpoint_path=f"{args.outDir}/checkpoint.npz",
         profiler=profiler,
+        catalog_failures=bool(args.bSaveFailures),
     )
     tele.close()
     if profiler is not None:

@@ -103,6 +103,7 @@ def f32_presets(cfg: "ProblemConfig") -> "ProblemConfig":
         admm=_dc.replace(
             cfg.admm, ns_tol=max(cfg.admm.ns_tol, 1e-4),
             ns_abs_tol=max(cfg.admm.ns_abs_tol, 1e-5),
+            ns_abs_llambda_tol=max(cfg.admm.ns_abs_llambda_tol, 1e-5),
             lin_abs_tol=max(cfg.admm.lin_abs_tol, 1e-7),
             lin_rel_tol=max(cfg.admm.lin_rel_tol, 1e-7),
         ),
@@ -687,6 +688,7 @@ class ObstacleShapeOpt:
         resume: dict | None = None,
         checkpoint_path: str | None = None,
         profiler=None,
+        catalog_failures: bool = True,
     ) -> list[StepRecord]:
         """Full optimization loop.  Returns per-accepted-step records.
 
@@ -728,6 +730,7 @@ class ObstacleShapeOpt:
             with prof.phase("jprime", sync=None):
                 Jp = self._jprime(X, s, lam_adj)
             self._cur_s, self._cur_lam_adj = s, lam_adj
+            self._cur_Jp = Jp  # exposed for -bDebugSensitivity output (2d:816)
             scaling = cfg.scaling  # reset each step (reference 2d:807)
             accepted = False
             attempts = 0
@@ -822,7 +825,7 @@ class ObstacleShapeOpt:
                         [r.newton_iters for r in history],
                         [r.lin_iters for r in history],
                     )
-                    if failures:
+                    if failures and catalog_failures:
                         telemetry.write_failures(
                             list(range(len(failures))),
                             [f["step"] for f in failures],

@@ -51,13 +51,32 @@ class ADMMConfig:
     norm_name: str = "frobenius"  # -normName
     ns_max_its: int = 10  # -nsMaxIts (x-update Newton)
     ns_tol: float = 1e-9  # -nsTol (on |DeltaLambda|)
-    ns_abs_tol: float = 1e-12  # -nsAbsLuTol / -nsAbsLlambdaTol
-    ns_rel_tol: float = 1e-12  # -nsRelLuTol / -nsRelLlambdaTol
+    ns_abs_tol: float = 1e-12  # -nsAbsLuTol (on |Lu|)
+    ns_abs_llambda_tol: float = 1e-12  # -nsAbsLlambdaTol (on |g|)
+    ns_rel_tol: float = 1e-12  # -nsRelLuTol (on |Lu|/|Lu_0|)
+    ns_rel_llambda_tol: float = 1e-12  # -nsRelLlambdaTol (on |g|/|g_0|)
+    # -lambda_vol/-lambda_x/-lambda_y[/-lambda_z] (2d:70-72): warm start for
+    # the geometric multipliers of each x-update Newton solve.  Empty = zeros
+    # (the reference's effective behavior: its Lambda is zeroed at every
+    # step-size-control restart, 2d:848; the CLI values only leak into the
+    # first iteration's element discretizations, 2d:390/424/485)
+    lambda_init: tuple = ()
     lin_max_iters: int = 200
     lin_abs_tol: float = 1e-12
     lin_rel_tol: float = 1e-10
     c_eps: float = 1.0  # extension operator eps(u):eps(w) weight
     c_mass: float = 1.0  # extension operator u.w weight
+
+
+def _lambda_init(cfg: ADMMConfig, m: int, dtype) -> jnp.ndarray:
+    """Initial geometric multipliers (m,) from cfg.lambda_init (zeros if unset)."""
+    if not cfg.lambda_init:
+        return jnp.zeros(m, dtype)
+    if len(cfg.lambda_init) != m:
+        raise ValueError(
+            f"lambda_init has {len(cfg.lambda_init)} entries, problem has m={m} constraints"
+        )
+    return jnp.asarray(cfg.lambda_init, dtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -199,11 +218,11 @@ def newton_xupdate_ops(
         return xs, jnp.sum(its).astype(jnp.int32), jnp.all(convs)
 
     def cond(state):
-        u, Lambda, it, lin, done, failed, dlam_norm = state
+        u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0 = state
         return (~done) & (~failed) & (it < cfg.ns_max_its)
 
     def body(state):
-        u, Lambda, it, lin, done, failed, dlam_prev = state
+        u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0 = state
         # under vmap the loop body runs for ALL lanes until every lane's
         # cond is false; freeze lanes that are already done/failed
         active = (~done) & (~failed)
@@ -230,22 +249,37 @@ def newton_xupdate_ops(
         u_new = jnp.where(active, (u + du) * free, u)
         Lambda_new = jnp.where(active, Lambda + dLambda, Lambda)
 
-        # convergence (reference 2d:1163-1169): increment / abs / rel norms
+        # convergence (reference 2d:1163-1169): increment / abs / rel norms;
+        # the relative test is against the FIRST iteration's norms
+        # (Norm_Lu_0 / Norm_Llambda_0, 2d:1150-1154).  Matching the
+        # reference's evaluation points: |Lu| is the PRE-update defect
+        # (assembled at 2d:954, norm at 2d:1095) while the constraint norm
+        # uses the UPDATED iterate (VolumeDefect(u) after u += delta_u,
+        # 2d:1068/1122-1126)
         dlam_norm = jnp.sqrt(jnp.vdot(dLambda, dLambda))
         lu_norm = ops_.norm_p1(Lu)
-        g_norm = jnp.sqrt(jnp.vdot(g, g))
+        g_new = ops_.constraints(u_new, ref_volume, ref_barycenter)
+        g_norm = jnp.sqrt(jnp.vdot(g_new, g_new))
+        first = active & (it == 0)
+        lu0 = jnp.where(first, lu_norm, lu0)
+        g0 = jnp.where(first, g_norm, g0)
+        tiny = jnp.asarray(jnp.finfo(u0.dtype).tiny, u0.dtype)
+        rel_ok = (lu_norm / jnp.maximum(lu0, tiny) < cfg.ns_rel_tol) & (
+            g_norm / jnp.maximum(g0, tiny) < cfg.ns_rel_llambda_tol
+        )
         done = done | (
             active
             & (
                 (dlam_norm <= cfg.ns_tol)
-                | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_tol))
+                | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_llambda_tol))
+                | rel_ok
             )
         )
         failed = failed | (active & ~ok)
         it = jnp.where(active, it + 1, it)
         lin = jnp.where(active, lin + nlin, lin)
         dlam_norm = jnp.where(active, dlam_norm, dlam_prev)
-        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm)
+        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0)
 
     init = (
         u0,
@@ -255,8 +289,10 @@ def newton_xupdate_ops(
         jnp.array(False),
         jnp.array(False),
         jnp.asarray(jnp.inf, u0.dtype),
+        jnp.asarray(0.0, u0.dtype),
+        jnp.asarray(0.0, u0.dtype),
     )
-    u, Lambda, it, lin, done, failed, _ = jax.lax.while_loop(cond, body, init)
+    u, Lambda, it, lin, done, failed, _, _, _ = jax.lax.while_loop(cond, body, init)
     # not converging within ns_max_its counts as failure (reference 2d:1084-1090)
     failed = failed | (~done)
     return u, Lambda, it, lin, failed
@@ -304,6 +340,7 @@ def admm_inner_ops(
     dim = ops_.dim
     m = 1 + dim
     dtype = Jp_base.dtype
+    lam0 = _lambda_init(cfg, m, dtype)
     zf = ops_.zeros_field(dtype)
     zt = ops_.zeros_tensor(dtype)
     state = ADMMState(
@@ -311,7 +348,7 @@ def admm_inner_ops(
         u_old=zf,
         lam=zt,
         q_proj=zt,
-        Lambda=jnp.zeros(m, dtype),
+        Lambda=lam0,
         scaling=jnp.asarray(scaling0, dtype),
         admm_it=jnp.array(0, jnp.int32),
         total_newton=jnp.array(0, jnp.int32),
@@ -337,7 +374,7 @@ def admm_inner_ops(
         u, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
             cfg, ops_, Jp_base, st.scaling, st.lam, q_proj,
             ref_volume, ref_barycenter,
-            st.u, jnp.zeros_like(st.Lambda), extra_hvp=extra_hvp,
+            st.u, lam0, extra_hvp=extra_hvp,
         )
 
         # ---- dual ascent (2d:1181-1185) ------------------------------------
@@ -465,7 +502,7 @@ def admm_inner_stepped(
             max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
             u2, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
                 cfg, ops_, Jp, scaling, lam, q_proj, ref_volume,
-                ref_barycenter, u, jnp.zeros(1 + ops_.dim, u.dtype),
+                ref_barycenter, u, _lambda_init(cfg, 1 + ops_.dim, u.dtype),
             )
             lam2, lam_inc = ops_.dual_update(u2, lam, q_proj, cfg.tau)
             u_diff = ops_.norm_p1(u2 - u_old)
@@ -481,7 +518,7 @@ def admm_inner_stepped(
     u_old = ops_probe.zeros_field(dtype)
     lam = ops_probe.zeros_tensor(dtype)
     q_proj = lam
-    Lambda = jnp.zeros(1 + ops_probe.dim, dtype)
+    Lambda = _lambda_init(cfg, 1 + ops_probe.dim, dtype)
     scaling = float(scaling0)
     sigma = float(sigma_threshold)
     stats_rows = []

@@ -103,3 +103,66 @@ def test_admm_spectral_norm(setup):
     assert not bool(st.failed)
     mx = float(dfm.max_spectral_norm(coords, elems, st.u))
     assert mx <= 0.3 * (1 + cfg.admm_gradient_tolerance) + 1e-12
+
+
+def test_xupdate_relative_tolerance(setup):
+    """The relative Lu/Llambda branch (2d:1165, -nsRelLuTol/-nsRelLlambdaTol):
+    with increment/absolute tests disabled, a loose relative tolerance must
+    stop the Newton loop; with ALL tests disabled it must exhaust ns_max_its
+    and flag failure."""
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    import dataclasses
+
+    d = coords.shape[1]
+    E = elems.shape[0]
+    lam = jnp.zeros((d, d, E))
+    q_proj = jnp.zeros((d, d, E))
+
+    def run(c):
+        return admm.newton_xupdate(
+            c, struct, mgdata, coords, elems, free, Jp,
+            jnp.asarray(1.0), lam, q_proj, ref_vol, ref_bary,
+            jnp.zeros_like(coords.T), jnp.zeros(1 + d),
+        )
+
+    cfg_rel = dataclasses.replace(
+        cfg, ns_tol=0.0, ns_abs_tol=0.0, ns_abs_llambda_tol=0.0,
+        ns_rel_tol=0.9, ns_rel_llambda_tol=0.9,
+    )
+    u, Lmb, it, lin, failed = run(cfg_rel)
+    assert not bool(failed)
+    assert int(it) < cfg.ns_max_its
+
+    cfg_none = dataclasses.replace(
+        cfg, ns_tol=0.0, ns_abs_tol=0.0, ns_abs_llambda_tol=0.0,
+        ns_rel_tol=0.0, ns_rel_llambda_tol=0.0,
+    )
+    _, _, it2, _, failed2 = run(cfg_none)
+    assert bool(failed2) and int(it2) == cfg.ns_max_its
+
+
+def test_lambda_init_warm_start(setup):
+    """-lambda_vol/-lambda_x/-lambda_y: the multiplier warm start must not
+    change the converged KKT point, and a wrong length must raise."""
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    import dataclasses
+
+    cfg_w = dataclasses.replace(cfg, lambda_init=(0.1, -0.05, 0.02))
+    st0 = admm.admm_inner(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    st1 = admm.admm_inner(
+        cfg_w, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    assert bool(st1.converged)
+    np.testing.assert_allclose(
+        np.asarray(st1.u), np.asarray(st0.u), rtol=0, atol=1e-6
+    )
+    with pytest.raises(ValueError, match="lambda_init"):
+        admm.admm_inner(
+            dataclasses.replace(cfg, lambda_init=(1.0,)), struct, mgdata,
+            coords, elems, free, Jp, jnp.asarray(0.3), jnp.asarray(1.0),
+            ref_vol, ref_bary,
+        )
