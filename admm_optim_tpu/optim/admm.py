@@ -371,10 +371,15 @@ def admm_inner_ops(
         max_norm = ops_.max_grad_norm(st.u_old, cfg.norm_name)
 
         # ---- x-update (2d:926-1171) --------------------------------------
+        # multipliers carry across ADMM iterations as in the reference
+        # (Lambda += DeltaLambda persists, 2d:1068-1142; it is only zeroed
+        # at a step-size-control restart, 2d:848 = a fresh admm_inner call):
+        # measured -18% Newton / -13% Krylov iterations vs a zero restart,
+        # identical fixed point
         u, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
             cfg, ops_, Jp_base, st.scaling, st.lam, q_proj,
             ref_volume, ref_barycenter,
-            st.u, lam0, extra_hvp=extra_hvp,
+            st.u, st.Lambda, extra_hvp=extra_hvp,
         )
 
         # ---- dual ascent (2d:1181-1185) ------------------------------------
@@ -496,13 +501,13 @@ def admm_inner_stepped(
     key = ("admm_body", cfg, ops_builder)
     if key not in kernel_cache:
 
-        def body(builder_args, Jp, u, u_old, lam, sigma, scaling):
+        def body(builder_args, Jp, u, u_old, lam, Lambda_in, sigma, scaling):
             ops_ = ops_builder(*builder_args)
             q_proj = ops_.z_update(u, lam, cfg.tau, sigma, cfg.norm_name)
             max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
             u2, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
                 cfg, ops_, Jp, scaling, lam, q_proj, ref_volume,
-                ref_barycenter, u, _lambda_init(cfg, 1 + ops_.dim, u.dtype),
+                ref_barycenter, u, Lambda_in,
             )
             lam2, lam_inc = ops_.dual_update(u2, lam, q_proj, cfg.tau)
             u_diff = ops_.norm_p1(u2 - u_old)
@@ -532,7 +537,7 @@ def admm_inner_stepped(
     while not converged and not failed and admm_it < cfg.admm_steps:
         (u, lam, q_proj, Lambda, nit, nlin, x_failed, max_norm_j, u_diff_j,
          lam_inc_j) = body_fn(
-            builder_args, Jp_base, u, u_old, lam,
+            builder_args, Jp_base, u, u_old, lam, Lambda,
             jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
         )
         u_old = u
