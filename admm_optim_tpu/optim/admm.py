@@ -183,11 +183,15 @@ def newton_xupdate_ops(
     u0,
     Lambda0,
     extra_hvp=None,
+    sols0=None,
 ):
     """Constrained Newton (KKT via dense m x m Schur complement) on any
     representation adapter (optim.spaces.GlobalOps / PatchOps).
 
-    Returns (u, Lambda, newton_iters, lin_iters, failed)."""
+    sols0: optional (1+m, ...) warm start for the st/t_i Krylov solves
+    (e.g. the previous ADMM iteration's solutions).
+
+    Returns (u, Lambda, newton_iters, lin_iters, failed, sols)."""
     free = ops_.free
     m = Lambda0.shape[0]
 
@@ -199,13 +203,17 @@ def newton_xupdate_ops(
             hx = hx + extra_hvp(x * free) * free
         return hx
 
-    def solve_h(u, Lambda, rhs_batch):
-        """Batched SPD-ish solves H x = b."""
+    def solve_h(u, Lambda, rhs_batch, x0_batch):
+        """Batched SPD-ish solves H x = b, warm-started from the previous
+        Newton iteration's solutions (H and the B_i change slowly between
+        iterates, so the old st/t_i are good initial guesses; the absolute
+        tolerance target is unchanged)."""
 
-        def one(b):
+        def one(b, x0):
             res = krylov.bicgstab(
                 lambda x: hess_apply(u, Lambda, x),
                 b,
+                x0=x0,
                 M=ops_.M,
                 max_iters=cfg.lin_max_iters,
                 abs_tol=cfg.lin_abs_tol,
@@ -214,15 +222,15 @@ def newton_xupdate_ops(
             )
             return res.x, res.iters, res.converged
 
-        xs, its, convs = jax.vmap(one)(rhs_batch)
+        xs, its, convs = jax.vmap(one)(rhs_batch, x0_batch)
         return xs, jnp.sum(its).astype(jnp.int32), jnp.all(convs)
 
     def cond(state):
-        u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0 = state
+        u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0, sols_prev = state
         return (~done) & (~failed) & (it < cfg.ns_max_its)
 
     def body(state):
-        u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0 = state
+        u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0, sols_prev = state
         # under vmap the loop body runs for ALL lanes until every lane's
         # cond is false; freeze lanes that are already done/failed
         active = (~done) & (~failed)
@@ -238,7 +246,7 @@ def newton_xupdate_ops(
             Lu = Lu + extra_hvp(u * free) * free
 
         rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, ...)
-        sols, nlin, ok = solve_h(u, Lambda, rhs)
+        sols, nlin, ok = solve_h(u, Lambda, rhs, sols_prev)
         st, t = sols[0], sols[1:]  # st = H^-1 Lu ; t_i = H^-1 B_i
 
         S = jax.vmap(lambda bi: jax.vmap(lambda tj: ops_.dot(bi, tj))(t))(B)
@@ -279,7 +287,7 @@ def newton_xupdate_ops(
         it = jnp.where(active, it + 1, it)
         lin = jnp.where(active, lin + nlin, lin)
         dlam_norm = jnp.where(active, dlam_norm, dlam_prev)
-        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0)
+        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0, sols)
 
     init = (
         u0,
@@ -291,11 +299,14 @@ def newton_xupdate_ops(
         jnp.asarray(jnp.inf, u0.dtype),
         jnp.asarray(0.0, u0.dtype),
         jnp.asarray(0.0, u0.dtype),
+        jnp.zeros((1 + m,) + u0.shape, u0.dtype) if sols0 is None else sols0,
     )
-    u, Lambda, it, lin, done, failed, _, _, _ = jax.lax.while_loop(cond, body, init)
+    u, Lambda, it, lin, done, failed, _, _, _, sols = jax.lax.while_loop(
+        cond, body, init
+    )
     # not converging within ns_max_its counts as failure (reference 2d:1084-1090)
     failed = failed | (~done)
-    return u, Lambda, it, lin, failed
+    return u, Lambda, it, lin, failed, sols
 
 
 def newton_xupdate(
@@ -322,7 +333,7 @@ def newton_xupdate(
     return newton_xupdate_ops(
         cfg, ops_, Jp_base, scaling, lam, q_proj, ref_volume, ref_barycenter,
         u0, Lambda0, extra_hvp=extra_hvp,
-    )
+    )[:5]
 
 
 def admm_inner_ops(
@@ -361,10 +372,12 @@ def admm_inner_ops(
         stats=jnp.zeros((cfg.admm_steps, 6), dtype),
     )
 
-    def cond(st: ADMMState):
+    def cond(carry):
+        st, _ = carry
         return (~st.converged) & (~st.failed) & (st.admm_it < cfg.admm_steps)
 
-    def body(st: ADMMState):
+    def body(carry):
+        st, xsols = carry
         active = (~st.converged) & (~st.failed)
         # ---- z-update + projection (2d:883-905) --------------------------
         q_proj = ops_.z_update(st.u, st.lam, cfg.tau, sigma_threshold, cfg.norm_name)
@@ -375,11 +388,12 @@ def admm_inner_ops(
         # (Lambda += DeltaLambda persists, 2d:1068-1142; it is only zeroed
         # at a step-size-control restart, 2d:848 = a fresh admm_inner call):
         # measured -18% Newton / -13% Krylov iterations vs a zero restart,
-        # identical fixed point
-        u, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
+        # identical fixed point.  The st/t_i Krylov solutions also carry
+        # (xsols) as warm starts for the next iteration's solves.
+        u, Lambda, nit, nlin, x_failed, xsols_new = newton_xupdate_ops(
             cfg, ops_, Jp_base, st.scaling, st.lam, q_proj,
             ref_volume, ref_barycenter,
-            st.u, st.Lambda, extra_hvp=extra_hvp,
+            st.u, st.Lambda, extra_hvp=extra_hvp, sols0=xsols,
         )
 
         # ---- dual ascent (2d:1181-1185) ------------------------------------
@@ -437,10 +451,13 @@ def admm_inner_ops(
         )
         # freeze lanes that were already finished (vmap semantics)
         return jax.tree_util.tree_map(
-            lambda a, b: jnp.where(active, a, b), new, st
+            lambda a, b: jnp.where(active, a, b), (new, xsols_new), (st, xsols)
         )
 
-    return jax.lax.while_loop(cond, body, state)
+    # one st solve + m constraint solves per Newton iteration
+    xsols0 = jnp.zeros((1 + m,) + state.u.shape, dtype)
+    st, _ = jax.lax.while_loop(cond, body, (state, xsols0))
+    return st
 
 
 def admm_inner(
@@ -501,18 +518,19 @@ def admm_inner_stepped(
     key = ("admm_body", cfg, ops_builder)
     if key not in kernel_cache:
 
-        def body(builder_args, Jp, u, u_old, lam, Lambda_in, sigma, scaling):
+        def body(builder_args, Jp, u, u_old, lam, Lambda_in, xsols, sigma, scaling):
             ops_ = ops_builder(*builder_args)
             q_proj = ops_.z_update(u, lam, cfg.tau, sigma, cfg.norm_name)
             max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
-            u2, Lambda, nit, nlin, x_failed = newton_xupdate_ops(
+            u2, Lambda, nit, nlin, x_failed, xsols2 = newton_xupdate_ops(
                 cfg, ops_, Jp, scaling, lam, q_proj, ref_volume,
-                ref_barycenter, u, Lambda_in,
+                ref_barycenter, u, Lambda_in, sols0=xsols,
             )
             lam2, lam_inc = ops_.dual_update(u2, lam, q_proj, cfg.tau)
             u_diff = ops_.norm_p1(u2 - u_old)
             lam_inc_n = ops_.norm_pc(lam_inc)
-            return u2, lam2, q_proj, Lambda, nit, nlin, x_failed, max_norm, u_diff, lam_inc_n
+            return (u2, lam2, q_proj, Lambda, xsols2, nit, nlin, x_failed,
+                    max_norm, u_diff, lam_inc_n)
 
         kernel_cache[key] = jax.jit(body)
     body_fn = kernel_cache[key]
@@ -524,6 +542,7 @@ def admm_inner_stepped(
     lam = ops_probe.zeros_tensor(dtype)
     q_proj = lam
     Lambda = _lambda_init(cfg, 1 + ops_probe.dim, dtype)
+    xsols = jnp.zeros((2 + ops_probe.dim,) + u.shape, dtype)
     scaling = float(scaling0)
     sigma = float(sigma_threshold)
     stats_rows = []
@@ -535,9 +554,9 @@ def admm_inner_stepped(
     max_norm = 0.0
 
     while not converged and not failed and admm_it < cfg.admm_steps:
-        (u, lam, q_proj, Lambda, nit, nlin, x_failed, max_norm_j, u_diff_j,
-         lam_inc_j) = body_fn(
-            builder_args, Jp_base, u, u_old, lam, Lambda,
+        (u, lam, q_proj, Lambda, xsols, nit, nlin, x_failed, max_norm_j,
+         u_diff_j, lam_inc_j) = body_fn(
+            builder_args, Jp_base, u, u_old, lam, Lambda, xsols,
             jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
         )
         u_old = u
