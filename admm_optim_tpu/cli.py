@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-line_search", type=float, default=1e-5)
     a("-tau", type=float, default=1.0)
     a("-normName", type=str, default="frobenius", choices=("frobenius", "spectral"))
+    a("-relaxAlpha", type=float, default=1.0,
+      help="ADMM over-relaxation (1.0 = reference behavior; 1.4-1.8 "
+           "accelerates, same fixed point)")
     a("-nsMaxIts", type=int, default=10)
     a("-nsTol", type=float, default=1e-9)
     a("-nsAbsLuTol", type=float, default=1e-12)
@@ -126,6 +129,7 @@ def main(argv=None) -> int:
             scaling=args.scaling,
             step_length=args.step_length,
             norm_name=args.normName,
+            relax_alpha=args.relaxAlpha,
             ns_max_its=args.nsMaxIts,
             ns_tol=args.nsTol,
             ns_abs_tol=args.nsAbsLuTol,

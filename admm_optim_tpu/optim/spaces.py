@@ -79,6 +79,9 @@ class GlobalOps:
     def tensor_rhs(self, M):
         return dfm.tensor_rhs(self.coords, self.elems, M) * self.free
 
+    def grad_tensor(self, u):
+        return dfm.elem_grads_of(self.coords, self.elems, u)[0]
+
     def z_update(self, u, lam, tau, sigma, norm_name):
         return dfm.z_update(self.coords, self.elems, u, lam, tau, sigma, norm_name)
 
@@ -202,6 +205,9 @@ class PatchOps:
 
     def tensor_rhs(self, M):
         return self._cons(pdfm.tensor_rhs_p(self.ps, self.coords_p, M))
+
+    def grad_tensor(self, u):
+        return pdfm.cell_grads(self.ps, self.coords_p, u)[0]
 
     def z_update(self, u, lam, tau, sigma, norm_name):
         return pdfm.z_update_p(self.ps, self.coords_p, u, lam, tau, sigma, norm_name)

@@ -166,3 +166,29 @@ def test_lambda_init_warm_start(setup):
             coords, elems, free, Jp, jnp.asarray(0.3), jnp.asarray(1.0),
             ref_vol, ref_bary,
         )
+
+
+def test_admm_over_relaxation(setup):
+    """relax_alpha (beyond the reference): accelerated convergence to the
+    SAME constrained fixed point - constraints hold, gradient bound holds,
+    and the iterate agrees with the unrelaxed solution."""
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    import dataclasses
+
+    st0 = admm.admm_inner(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    st = admm.admm_inner(
+        dataclasses.replace(cfg, relax_alpha=1.4), struct, mgdata, coords,
+        elems, free, Jp, jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    assert bool(st.converged) and not bool(st.failed)
+    assert int(st.admm_it) <= int(st0.admm_it)
+    g = dfm.constraints(coords, elems, st.u, ref_vol, ref_bary)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-6)
+    mx = float(dfm.max_frobenius_norm(coords, elems, st.u))
+    assert mx <= 0.3 * (1 + cfg.admm_gradient_tolerance) + 1e-12
+    # same fixed point up to the ADMM tolerance scale
+    du = float(jnp.linalg.norm(st.u - st0.u)) / max(float(jnp.linalg.norm(st0.u)), 1e-30)
+    assert du < 0.05
