@@ -511,7 +511,7 @@ class ObstacleShapeOpt:
         # forward solve's Krylov convergence on J^T (ns_solver.transpose_M;
         # measured 18x fewer iterations than the old diagonal surrogate,
         # which was the only stable hand-built option)
-        def _adjoint_impl(X, s):
+        def _adjoint_impl(X, s, lam0):
             m_args = _ns_pre(X, s=s)
             Jt_fn = None
             if self.use_ns_jac:
@@ -524,7 +524,7 @@ class ObstacleShapeOpt:
             )
             return ns_solver.adjoint_solve(
                 self.ns_space, X, s, cfg.visc, cfg.stab, cfg.ns, M=MT,
-                Jt_fn=Jt_fn,
+                Jt_fn=Jt_fn, x0=lam0,
             )
 
         self._adjoint_pre = jax.jit(_adjoint_impl)
@@ -571,7 +571,14 @@ class ObstacleShapeOpt:
             return self._ns_solve_pre(X, s0, nu)
 
         def _adjoint(X, s):
-            return self._adjoint_pre(X, s)
+            # warm start from the previous step's adjoint (zeros initially);
+            # the residual target is vs |rhs|, so this only cuts iterations
+            lam0 = (
+                self._cur_lam_adj
+                if self._cur_lam_adj is not None
+                else jnp.zeros_like(s)
+            )
+            return self._adjoint_pre(X, s, lam0)
 
         self._ns_solve = _ns_solve
         self._adjoint = _adjoint
@@ -726,7 +733,7 @@ class ObstacleShapeOpt:
         for step in range(start_step, num_steps):
             t0 = time.perf_counter()
             with prof.phase("adjoint"):
-                lam_adj, adj_res = self._adjoint(X, s)
+                lam_adj, adj_res, adj_iters = self._adjoint(X, s)
             with prof.phase("jprime", sync=None):
                 Jp = self._jprime(X, s, lam_adj)
             self._cur_s, self._cur_lam_adj = s, lam_adj

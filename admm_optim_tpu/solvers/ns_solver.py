@@ -258,7 +258,7 @@ def newton_solve_stepped(
 
 def adjoint_solve(
     space, coords, s, visc, stab=0.0, cfg: NewtonConfig = NewtonConfig(), M=None,
-    Jt_fn=None,
+    Jt_fn=None, x0=None,
 ):
     """Solve J(s)^T lambda = -dJ_drag/ds.  The reference assembles a separate
     adjoint discretization (ADMMNavierStokesAdjoint, 2d_admm.lua:286-332);
@@ -266,9 +266,14 @@ def adjoint_solve(
 
     Jt_fn: optional assembled transpose apply (ops.ns_patchjac lattice
     blocks with the einsum transposed); default is jax.vjp per iteration.
+    x0: optional warm start (e.g. the previous optimization step's adjoint;
+    the residual target is relative to |rhs|, so a warm start can only
+    reduce iterations).
 
     Note: a GMG preconditioner built for J must be (approximately) symmetric
-    to double as a J^T preconditioner - the vector-Laplacian V-cycle is."""
+    to double as a J^T preconditioner - the vector-Laplacian V-cycle is.
+
+    Returns (lambda, final residual norm, iterations)."""
 
     def R(ss):
         return nsops.ns_residual(space, coords, ss, visc, stab)
@@ -281,16 +286,21 @@ def adjoint_solve(
     gJ = jax.grad(lambda ss: nsops.drag(space, coords, ss, visc))(s)
     if M is None:
         M = nsops.diag_preconditioner(space, coords, visc)
+    # target vs |rhs| (not |r0|), so warm starts keep the cold-start target
+    tol = jnp.maximum(
+        cfg.lin_abs_tol, cfg.adj_rel_tol * jnp.linalg.norm(gJ)
+    )
     res = gmres(
         Jt,
         -gJ,
+        x0=x0,
         M=M,
         restart=2 * cfg.lin_restart,
         max_iters=4 * cfg.lin_max_iters,
-        abs_tol=cfg.lin_abs_tol,
-        rel_tol=cfg.adj_rel_tol,
+        abs_tol=tol,
+        rel_tol=0.0,
     )
-    return res.x, res.res_norm
+    return res.x, res.res_norm, res.iters
 
 
 def shape_gradient(space, coords, s, lam, visc, stab, obstacle_vmask):

@@ -64,7 +64,7 @@ def test_adjoint_and_shape_gradient_match_fd(setup):
     tight = ns_solver.NewtonConfig(accept_tol=1e-11, lin_rel_tol=1e-6)
     s, it, nrm, conv = ns_solver.newton_solve(space, coords, s0, VISC, cfg=tight)
     assert bool(conv)
-    lam, res = ns_solver.adjoint_solve(space, coords, s, VISC)
+    lam, res, _ = ns_solver.adjoint_solve(space, coords, s, VISC)
     assert float(res) < 1e-9
 
     obs_mask = jnp.asarray(lvl.subset_vertices["obstacle_surface"]).astype(coords.dtype)
