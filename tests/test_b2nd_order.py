@@ -20,7 +20,7 @@ def _flow(prob):
     s = prob.initial_state(X)
     s, _, _, conv = prob._ns_solve(X, s, visc=0.16)
     assert bool(conv)
-    lam, _ = prob._adjoint(X, s)
+    lam, _, _ = prob._adjoint(X, s)
     return X, s, lam
 
 
