@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     a("-bOutputAdjoints", type=int, default=0)
     a("-bDebugSensitivity", type=int, default=0,
       help="write the shape gradient J' into the per-step VTU (2d:82)")
+    a("-bOutputIntermediateUp", type=int, default=0,
+      help="write a VTU of every ADMM iterate's u (2d:84); runs the "
+           "host-stepped ADMM driver")
     a("-bNewtonOutput", type=int, default=0,
       help="print per-step NS/x-update iteration detail (2d:75)")
     a("-bSaveFailures", type=int, default=1,
@@ -201,6 +204,28 @@ def main(argv=None) -> int:
     else:
         callback = None
 
+    admm_iter_cb = None
+    if args.bOutputIntermediateUp:
+        from .io.vtk import write_vtu as _write_vtu
+
+        if cfg.b2nd_order:
+            # the host-stepped driver omits the J'' Hessian term
+            print(
+                "WARNING: -bOutputIntermediateUp ignores -b2ndOrder "
+                "(host-stepped ADMM driver has no J'' term)"
+            )
+
+        def admm_iter_cb(step, attempt, k, u):
+            import numpy as np
+
+            _write_vtu(
+                f"{args.outDir}/u_intermediate_step_{step:04d}_"
+                f"a{attempt:02d}_{k:04d}.vtu",
+                np.asarray(prob._cur_X),
+                np.asarray(prob.elems),
+                point_data={"u": np.asarray(u).T},
+            )
+
     profiler = None
     if args.bActivateProfiler:
         from .utils.profiling import Profiler
@@ -215,6 +240,7 @@ def main(argv=None) -> int:
         checkpoint_path=f"{args.outDir}/checkpoint.npz",
         profiler=profiler,
         catalog_failures=bool(args.bSaveFailures),
+        admm_iter_cb=admm_iter_cb,
     )
     tele.close()
     if profiler is not None:

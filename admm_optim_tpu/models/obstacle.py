@@ -655,18 +655,45 @@ class ObstacleShapeOpt:
                     _ps.fine, u, n, mode="owner"
                 )
             )
-            self._admm_kernel_cache = {}
+        self._admm_kernel_cache = {}
 
-        def _admm_dispatch(mgdata, X, Jp, sigma, scaling):
-            if self._admm_stepped_on:
-                coords_p, Jp_p = self._patch_conv(X, Jp)
-                st = admm.admm_inner_stepped(
-                    a, self._patch_ops_builder, (mgdata, coords_p), Jp_p,
+        # global-representation builder for the host-stepped driver (used
+        # when per-iteration u output is requested on the block-ELL backend)
+        _g_struct, _g_elems, _g_free = self.struct, self.elems, self.free
+
+        def _global_ops_builder(mgdata, coords):
+            from ..optim.spaces import GlobalOps
+
+            return GlobalOps(_g_struct, mgdata, coords, _g_elems, _g_free)
+
+        self._global_ops_builder = _global_ops_builder
+
+        def _admm_dispatch(mgdata, X, Jp, sigma, scaling, iter_cb=None):
+            # the host-stepped driver runs when the problem is large (one
+            # device execution per ADMM iteration) OR when the caller wants
+            # every iterate's u (-bOutputIntermediateUp, 2d:84) - the
+            # monolithic jitted loop never materializes intermediates
+            if self._admm_stepped_on or iter_cb is not None:
+                if self.use_patch:
+                    coords_p, Jp_p = self._patch_conv(X, Jp)
+                    cb = (
+                        None
+                        if iter_cb is None
+                        else lambda k, up: iter_cb(k, self._patch_u_to_global(up))
+                    )
+                    st = admm.admm_inner_stepped(
+                        a, self._patch_ops_builder, (mgdata, coords_p), Jp_p,
+                        float(sigma), float(scaling),
+                        self.ref_volume, self.ref_barycenter,
+                        self._admm_kernel_cache, iter_cb=cb,
+                    )
+                    return dataclasses.replace(st, u=self._patch_u_to_global(st.u))
+                return admm.admm_inner_stepped(
+                    a, self._global_ops_builder, (mgdata, X), Jp,
                     float(sigma), float(scaling),
                     self.ref_volume, self.ref_barycenter,
-                    self._admm_kernel_cache,
+                    self._admm_kernel_cache, iter_cb=iter_cb,
                 )
-                return dataclasses.replace(st, u=self._patch_u_to_global(st.u))
             return self._admm_full(
                 mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
             )
@@ -696,12 +723,16 @@ class ObstacleShapeOpt:
         checkpoint_path: str | None = None,
         profiler=None,
         catalog_failures: bool = True,
+        admm_iter_cb: Callable | None = None,
     ) -> list[StepRecord]:
         """Full optimization loop.  Returns per-accepted-step records.
 
         resume: dict from io.checkpoint.load_checkpoint (X, s, sigma, step,
         drag_old); checkpoint_path: save after every accepted step;
-        profiler: utils.profiling.Profiler (ProfileLUA parity, 2d:14)."""
+        profiler: utils.profiling.Profiler (ProfileLUA parity, 2d:14);
+        admm_iter_cb(step, attempt, k, u): fired with every ADMM iterate's
+        deformation u (C, V) (-bOutputIntermediateUp, 2d:84) - forces the
+        host-stepped ADMM driver."""
         from ..utils.profiling import NULL
 
         prof = profiler if profiler is not None else NULL
@@ -738,6 +769,7 @@ class ObstacleShapeOpt:
                 Jp = self._jprime(X, s, lam_adj)
             self._cur_s, self._cur_lam_adj = s, lam_adj
             self._cur_Jp = Jp  # exposed for -bDebugSensitivity output (2d:816)
+            self._cur_X = X  # current (pre-update) mesh, for iterate output
             scaling = cfg.scaling  # reset each step (reference 2d:807)
             accepted = False
             attempts = 0
@@ -746,7 +778,19 @@ class ObstacleShapeOpt:
                 with prof.phase("assemble"):
                     mgdata = self._assemble(X)
                 with prof.phase("admm", sync=None):
-                    st = self._admm(mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling))
+                    icb = (
+                        None
+                        if admm_iter_cb is None
+                        else (
+                            lambda k, u, _s=step, _a=attempts: admm_iter_cb(
+                                _s, _a, k, u
+                            )
+                        )
+                    )
+                    st = self._admm(
+                        mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling),
+                        iter_cb=icb,
+                    )
                     jax.block_until_ready(st.u)
                 if bool(st.failed):
                     # 2d:1269 halves sigma; 3d:1322 halves scaling instead

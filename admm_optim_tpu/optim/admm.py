@@ -512,10 +512,17 @@ def admm_inner_stepped(
     ref_barycenter,
     kernel_cache: dict,
     verbose: bool = False,
+    iter_cb=None,
 ):
     """Host-stepped twin of admm_inner_ops: identical algorithm, but the
     ADMM while-loop runs on the host with ONE device execution per ADMM
     iteration (z-update + x-update Newton + dual ascent).
+
+    iter_cb(k, u): optional host callback fired after every ADMM iteration
+    with the running iteration count k (monotone across fake-convergence
+    restarts) and the current deformation iterate u in the representation's
+    layout — the hook behind -bOutputIntermediateUp (reference 2d:84: VTK
+    of every ADMM iterate's u).
 
     Why: the monolithic jitted loop is a single device execution of
     admm_steps * ns_max_its * (2+m) multigrid solves - minutes of wall clock
@@ -578,6 +585,8 @@ def admm_inner_stepped(
             jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
         )
         u_old = u
+        if iter_cb is not None:
+            iter_cb(len(stats_rows), u)
         total_newton += int(nit)
         total_lin += int(nlin)
         max_norm = float(max_norm_j)

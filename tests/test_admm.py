@@ -192,3 +192,35 @@ def test_admm_over_relaxation(setup):
     # same fixed point up to the ADMM tolerance scale
     du = float(jnp.linalg.norm(st.u - st0.u)) / max(float(jnp.linalg.norm(st0.u)), 1e-30)
     assert du < 0.05
+
+
+def test_stepped_driver_matches_monolithic_and_reports_iterates(setup):
+    """admm_inner_stepped (host-stepped twin) reaches the same fixed point
+    as the jitted while-loop and fires iter_cb with every ADMM iterate's u
+    (the -bOutputIntermediateUp hook, reference 2d:84)."""
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    from admm_optim_tpu.optim.spaces import GlobalOps
+
+    def builder(mgdata_, coords_):
+        return GlobalOps(struct, mgdata_, coords_, elems, free)
+
+    seen = []
+    st = admm.admm_inner_stepped(
+        cfg, builder, (mgdata, coords), Jp, 0.3, 1.0, ref_vol, ref_bary,
+        {}, iter_cb=lambda k, u: seen.append((k, np.asarray(u))),
+    )
+    assert bool(st.converged) and not bool(st.failed)
+    # one callback per executed ADMM iteration, indices monotone from 0
+    assert len(seen) > 0
+    assert [k for k, _ in seen] == list(range(len(seen)))
+    # the last reported iterate IS the final u
+    np.testing.assert_array_equal(seen[-1][1], np.asarray(st.u))
+    # same fixed point as the monolithic jitted loop
+    st_ref = admm.admm_inner(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    assert int(st.admm_it) == int(st_ref.admm_it)
+    np.testing.assert_allclose(
+        np.asarray(st.u), np.asarray(st_ref.u), rtol=0, atol=1e-8
+    )
