@@ -16,6 +16,53 @@ import jax.numpy as jnp
 from ..optim import admm
 
 
+def _sigma_sweep_kernel(prob):
+    """Cached jitted sweep kernel: all per-call arrays (mgdata, geometry,
+    J', candidate vectors) are explicit TRACED arguments, so repeated
+    sweeps — and in particular repeated single-candidate calls — reuse one
+    compiled program instead of re-jitting a fresh closure every call."""
+    cache = prob.__dict__.setdefault("_sweep_jit_cache", {})
+    key = "sigma_patch" if prob.use_patch else "sigma_global"
+    if key in cache:
+        return cache[key]
+
+    if prob.use_patch:
+        from ..ops import patchstencil as pst
+
+        fine = prob.patchset.fine
+
+        def f(mgdata, coords_p, Jp_p, sigmas, scalings, n_vertices):
+            def one(sigma, scaling):
+                import dataclasses as _dc
+
+                ops_ = prob._patch_ops_builder(mgdata, coords_p)
+                st = admm.admm_inner_ops(
+                    prob.cfg.admm, ops_, Jp_p, sigma, scaling,
+                    prob.ref_volume, prob.ref_barycenter,
+                )
+                # public contract: u in the GLOBAL (C, V) representation
+                u_g = pst.from_patch(fine, st.u, n_vertices, mode="owner")
+                return _dc.replace(st, u=u_g)
+
+            return jax.vmap(one)(sigmas, scalings)
+
+        cache[key] = jax.jit(f, static_argnums=(5,))
+    else:
+
+        def f(mgdata, X, Jp, sigmas, scalings):
+            def one(sigma, scaling):
+                return admm.admm_inner(
+                    prob.cfg.admm, prob.struct, mgdata, X, prob.elems,
+                    prob.free, Jp, sigma, scaling,
+                    prob.ref_volume, prob.ref_barycenter,
+                )
+
+            return jax.vmap(one)(sigmas, scalings)
+
+        cache[key] = jax.jit(f)
+    return cache[key]
+
+
 def sigma_sweep(prob, X, Jp, sigmas, scalings=None):
     """Run the ADMM inner solver for a batch of (sigma, scaling) candidates
     on a fixed geometry.  Returns the batched ADMMState (leading axis B).
@@ -25,36 +72,17 @@ def sigma_sweep(prob, X, Jp, sigmas, scalings=None):
     if scalings is None:
         scalings = jnp.ones_like(sigmas)
     mgdata = prob._assemble(X)
+    kern = _sigma_sweep_kernel(prob)
+    sigmas = jnp.asarray(sigmas)
+    scalings = jnp.asarray(scalings)
 
     if prob.use_patch:
         from ..ops import patchstencil as pst
 
         coords_p = pst.to_patch(prob.patchset.fine, X.T)
         Jp_p = pst.to_patch(prob.patchset.fine, Jp)
-
-        n_vertices = X.shape[0]
-
-        def one(sigma, scaling):
-            import dataclasses as _dc
-
-            ops_ = prob._patch_ops_builder(mgdata, coords_p)
-            st = admm.admm_inner_ops(
-                prob.cfg.admm, ops_, Jp_p, sigma, scaling,
-                prob.ref_volume, prob.ref_barycenter,
-            )
-            # public contract: u in the GLOBAL (C, V) representation
-            u_g = pst.from_patch(prob.patchset.fine, st.u, n_vertices, mode="owner")
-            return _dc.replace(st, u=u_g)
-
-    else:
-
-        def one(sigma, scaling):
-            return admm.admm_inner(
-                prob.cfg.admm, prob.struct, mgdata, X, prob.elems, prob.free, Jp,
-                sigma, scaling, prob.ref_volume, prob.ref_barycenter,
-            )
-
-    return jax.jit(jax.vmap(one))(jnp.asarray(sigmas), jnp.asarray(scalings))
+        return kern(mgdata, coords_p, Jp_p, sigmas, scalings, X.shape[0])
+    return kern(mgdata, X, Jp, sigmas, scalings)
 
 
 def geometry_sweep(prob, Xs, Jps, sigma, scaling=1.0):
@@ -62,19 +90,28 @@ def geometry_sweep(prob, Xs, Jps, sigma, scaling=1.0):
     per-geometry shape gradients (B, C, V).  Per-geometry multigrid data is
     assembled under the same vmap (the per-level jits inline)."""
 
-    a = prob.cfg.admm
+    cache = prob.__dict__.setdefault("_sweep_jit_cache", {})
+    key = "geometry"
+    if key not in cache:
+        a = prob.cfg.admm
 
-    def one(X, Jp):
-        mgdata = prob.def_space.assemble_mg(
-            prob.struct, X, a.c_eps, a.tau, a.c_mass
-        )
-        return admm.admm_inner(
-            prob.cfg.admm, prob.struct, mgdata, X, prob.elems, prob.free, Jp,
-            jnp.asarray(sigma), jnp.asarray(scaling),
-            prob.ref_volume, prob.ref_barycenter,
-        )
+        def f(Xs, Jps, sigma, scaling):
+            def one(X, Jp):
+                mgdata = prob.def_space.assemble_mg(
+                    prob.struct, X, a.c_eps, a.tau, a.c_mass
+                )
+                return admm.admm_inner(
+                    a, prob.struct, mgdata, X, prob.elems, prob.free, Jp,
+                    sigma, scaling, prob.ref_volume, prob.ref_barycenter,
+                )
 
-    return jax.jit(jax.vmap(one))(jnp.asarray(Xs), jnp.asarray(Jps))
+            return jax.vmap(one)(Xs, Jps)
+
+        cache[key] = jax.jit(f)
+    return cache[key](
+        jnp.asarray(Xs), jnp.asarray(Jps), jnp.asarray(sigma),
+        jnp.asarray(scaling),
+    )
 
 
 def best_candidate(prob, X, s, states):

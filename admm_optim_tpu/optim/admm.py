@@ -261,8 +261,12 @@ def newton_xupdate_ops(
         dLambda = jnp.linalg.solve(S, rhs_s)
         du = -st - jnp.tensordot(dLambda, t, axes=1)
 
-        u_new = jnp.where(active, (u + du) * free, u)
-        Lambda_new = jnp.where(active, Lambda + dLambda, Lambda)
+        # a failed Krylov solve must NOT contaminate the iterate: the
+        # reference breaks out of the x-update before applying the update
+        # (2d:960/988/1054 precede the VecScaleAdd2 at 2d:1068)
+        apply = active & ok
+        u_new = jnp.where(apply, (u + du) * free, u)
+        Lambda_new = jnp.where(apply, Lambda + dLambda, Lambda)
 
         # convergence (reference 2d:1163-1169): increment / abs / rel norms;
         # the relative test is against the FIRST iteration's norms
@@ -283,7 +287,7 @@ def newton_xupdate_ops(
             g_norm / jnp.maximum(g0, tiny) < cfg.ns_rel_llambda_tol
         )
         done = done | (
-            active
+            apply
             & (
                 (dlam_norm <= cfg.ns_tol)
                 | ((lu_norm < cfg.ns_abs_tol) & (g_norm < cfg.ns_abs_llambda_tol))
@@ -293,8 +297,9 @@ def newton_xupdate_ops(
         failed = failed | (active & ~ok)
         it = jnp.where(active, it + 1, it)
         lin = jnp.where(active, lin + nlin, lin)
-        dlam_norm = jnp.where(active, dlam_norm, dlam_prev)
-        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0, sols)
+        dlam_norm = jnp.where(apply, dlam_norm, dlam_prev)
+        sols_out = jnp.where(apply, sols, sols_prev)
+        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0, sols_out)
 
     init = (
         u0,

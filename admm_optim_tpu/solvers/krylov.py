@@ -88,10 +88,35 @@ def bicgstab(
     abs_tol: float = 1e-12,
     rel_tol: float = 0.0,
     dot: Callable | None = None,
+    restarts: int = 2,
+    floor: float = 50.0,
 ) -> SolveResult:
     """Right-preconditioned BiCGStab, mirroring the reference's
     bicgstab+gmg linear solver preset (obstacle_optim_util.lua:9-44).
-    dot: custom inner product (e.g. owner-weighted patch dot)."""
+    dot: custom inner product (e.g. owner-weighted patch dot).
+
+    restarts: number of recurrence rounds within the shared max_iters
+    budget.  The BiCGStab residual is RECURRED, and in f32 it drifts from
+    the true residual b - A x after tens of iterations, so a single round
+    can stall just above a tight absolute tolerance no matter how many
+    iterations remain (measured on the batched f32 x-update solves: lanes
+    stalled at 2-5e-7 against abs_tol 1e-7 with triple the iteration cap).
+    Each extra round restarts the recurrence from the TRUE residual of the
+    previous round's iterate, and the convergence flag is evaluated on a
+    true residual, never the recurred one.  Rounds after convergence cost
+    one A-apply each (their while-loops exit immediately).
+
+    floor: attainable-residual clamp.  A Krylov solve in dtype eps cannot
+    push the TRUE residual below ~eps * (|A||x| + |b|) no matter the
+    tolerance, so the effective target is
+        max(abs_tol, rel_tol*|r0|, floor*eps*|b|)
+    — "converge to the requested tolerance, or to this system's rounding
+    floor, whichever is larger".  In f64 that is ~1e-14*|b| (inactive at
+    the reference's 1e-12 targets); in f32 it keeps tight f64-grade
+    targets from being reported as solver FAILURE when the solve did all
+    f32 can (the reference retries the whole optimization step on solver
+    failure, 2d:960, so a spurious failure is expensive).  floor=0
+    disables the clamp."""
     if dot is None:
         dot = jnp.vdot
     _nrm = lambda x: jnp.sqrt(dot(x, x).real)
@@ -99,14 +124,33 @@ def bicgstab(
         x0 = jnp.zeros_like(b)
     if M is None:
         M = lambda r: r
-    r0 = b - A(x0)
-    nrm0 = _nrm(r0)
-    tol = jnp.maximum(abs_tol, rel_tol * nrm0)
+
+    eps = float(jnp.finfo(b.dtype).eps)
+    tol = None
+    x = x0
+    its_total = jnp.array(0, jnp.int32)
+    for round_i in range(max(1, restarts)):
+        r0 = b - A(x)
+        nrm0 = _nrm(r0)
+        if tol is None:  # first round's true residual defines the target
+            tol = jnp.maximum(abs_tol, rel_tol * nrm0)
+            tol = jnp.maximum(tol, floor * eps * _nrm(b))
+        x, its, _ = _bicgstab_round(
+            A, b, x, r0, nrm0, M, dot, _nrm, tol, max_iters - its_total
+        )
+        its_total = its_total + its
+    r_true = b - A(x)
+    nrm_true = _nrm(r_true)
+    return SolveResult(x, its_total, nrm_true, nrm_true <= tol)
+
+
+def _bicgstab_round(A, b, x0, r0, nrm0, M, dot, _nrm, tol, budget):
+    """One BiCGStab recurrence from the given (true) initial residual."""
     rhat = r0
 
     def cond(state):
         x, r, p, v, rho, alpha, omega, it, nrm, ok = state
-        return (nrm > tol) & (it < max_iters) & ok
+        return (nrm > tol) & (it < budget) & ok
 
     def body(state):
         # freeze already-finished lanes under vmap (see cg.body)
@@ -127,7 +171,10 @@ def bicgstab(
         omega = dot(t, s) / _safe(tt)
         x = x + alpha * phat + omega * shat
         r = s - omega * t
-        bad = (jnp.abs(rho_new) < 1e-300) | (jnp.abs(denom) < 1e-300)
+        # dtype-aware breakdown detection (1e-300 would never trigger in
+        # f32, where everything below ~1e-38 flushes to zero)
+        brk = jnp.asarray(_breakdown_eps(b.dtype), nrm.dtype)
+        bad = (jnp.abs(rho_new) < brk) | (jnp.abs(denom) < brk)
         new = (x, r, p, v, rho_new, alpha, omega, it + 1, _nrm(r), ~bad)
         return jax.tree_util.tree_map(lambda a, b: jnp.where(active, a, b), new, old)
 
@@ -145,11 +192,17 @@ def bicgstab(
         jnp.array(True),
     )
     x, r, p, v, rho, alpha, omega, it, nrm, ok = jax.lax.while_loop(cond, body, init)
-    return SolveResult(x, it, nrm, nrm <= tol)
+    return x, it, nrm
+
+
+def _breakdown_eps(dtype):
+    # well above the flush-to-zero threshold, far below any healthy scalar
+    return float(jnp.finfo(dtype).tiny) * 1e4
 
 
 def _safe(x):
-    return jnp.where(jnp.abs(x) < 1e-300, jnp.where(x < 0, -1e-300, 1e-300), x)
+    t = jnp.asarray(_breakdown_eps(x.dtype), x.dtype)
+    return jnp.where(jnp.abs(x) < t, jnp.where(x < 0, -t, t), x)
 
 
 def gmres(
