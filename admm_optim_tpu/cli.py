@@ -12,6 +12,7 @@ Extra flags beyond the reference: ``-dim`` (one driver for both 2D/3D),
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 
 
@@ -83,6 +84,8 @@ def build_parser() -> argparse.ArgumentParser:
     a("-bSaveFailures", type=int, default=1,
       help="catalogue non-descent steps to __Failure_Data.txt (2d:87)")
     a("-bActivateProfiler", type=int, default=0)
+    a("-traceDir", type=str, default=None,
+      help="write a jax.profiler device trace (xprof) of the whole run")
     a("-verbose", type=int, default=1)
     return p
 
@@ -231,17 +234,30 @@ def main(argv=None) -> int:
         from .utils.profiling import Profiler
 
         profiler = Profiler()
+        if prob.use_patch:
+            # the reference's ProfileLUA cost accounting analogue: exact
+            # per-level HBM bytes/flops + roofline per V-cycle
+            from .solvers.patch_mg import vcycle_cost_table
 
-    hist = prob.run(
-        telemetry=tele,
-        callback=callback,
-        verbose=bool(args.verbose),
-        resume=start_state,
-        checkpoint_path=f"{args.outDir}/checkpoint.npz",
-        profiler=profiler,
-        catalog_failures=bool(args.bSaveFailures),
-        admm_iter_cb=admm_iter_cb,
-    )
+            print(vcycle_cost_table(prob._pmg_struct, prob._assemble(prob.X0)))
+
+    trace_ctx = contextlib.nullcontext()
+    if args.traceDir:
+        from .utils.profiling import device_trace
+
+        trace_ctx = device_trace(args.traceDir)
+
+    with trace_ctx:
+        hist = prob.run(
+            telemetry=tele,
+            callback=callback,
+            verbose=bool(args.verbose),
+            resume=start_state,
+            checkpoint_path=f"{args.outDir}/checkpoint.npz",
+            profiler=profiler,
+            catalog_failures=bool(args.bSaveFailures),
+            admm_iter_cb=admm_iter_cb,
+        )
     tele.close()
     if profiler is not None:
         print(profiler.report())
