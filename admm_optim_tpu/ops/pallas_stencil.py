@@ -41,6 +41,9 @@ _SLOT_CHUNK = 5
 # sym variant: the 7 shifted pair blocks (~2.6 MB doubled) are resident on
 # top of the direct chunk, so keep direct chunks smaller
 _SYM_SLOT_CHUNK = 4
+# DF variant additionally holds the lo-part x halo blocks and a second
+# output block
+_DF_SLOT_CHUNK = 4
 
 
 def _kernel(stencil, nsl, n2, kept_xidx, *refs):
@@ -256,6 +259,213 @@ def _apply_w_pallas_3d_sym(stencil, kept, nsl, W, x, interpret=False):
         interpret=interpret,
     )(*([xp] * len(kept_x)), W, *([W] * len(missing)))
     return y
+
+
+def _eft_two_sum(a, b):
+    """Knuth two-sum inside the kernel.  Mosaic lowers these through MLIR
+    arith ops with no algebraic simplification and no licensed FMA
+    contraction of pure adds, so the EFT identities survive without the
+    optimization barriers the XLA path needs (ops.df._ob)."""
+    s = a + b
+    bb = s - a
+    e = (a - (s - bb)) + (b - bb)
+    return s, e
+
+
+def _eft_two_prod(a, b):
+    """Dekker/Veltkamp two-prod (f32 split constant 2^12+1).  FMA
+    contraction inside the error expression is harmless: fma(ah,bh,-p) IS
+    the exact error term (see ops.df.two_prod)."""
+    p = a * b
+    ca = a * 4097.0
+    ah = ca - (ca - a)
+    al = a - ah
+    cb = b * 4097.0
+    bh = cb - (cb - b)
+    bl = b - bh
+    e = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, e
+
+
+def _kernel_sym_df(stencil, kept, missing, nsl, n2, kept_xidx, *refs):
+    """Double-float sym-stencil apply: the EFT accumulation of
+    patchstencil._apply_w_df_sym fused into the pencil kernel.  refs =
+    (*xh_refs, *xl_refs, w_dir_ref, *w_shift_refs, yh_ref, yl_ref).
+
+    The (hi, lo) accumulator pair lives in the revisited output blocks;
+    each slot folds its exact product into it with two_sum.  The final
+    grid step renormalizes the pair (two_sum of hi and lo), matching the
+    XLA path's closing normalization."""
+    n_x = len(kept_xidx)
+    xh_refs = refs[:n_x]
+    xl_refs = refs[n_x : 2 * n_x]
+    w_dir = refs[2 * n_x]
+    w_shift = refs[2 * n_x + 1 : 2 * n_x + 1 + len(missing)]
+    yh_ref = refs[-2]
+    yl_ref = refs[-1]
+    xpos = {k: i for i, k in enumerate(kept_xidx)}
+    os_ = pl.program_id(2)
+    nos = pl.num_programs(2)
+    C = yh_ref.shape[0]
+
+    @pl.when(os_ == 0)
+    def _init():
+        yh_ref[...] = jnp.zeros_like(yh_ref)
+        yl_ref[...] = jnp.zeros_like(yl_ref)
+
+    def fold(c, w, xsh, xsl):
+        p, e = _eft_two_prod(w, xsh)
+        lo = e + w * xsl
+        s, t = _eft_two_sum(yh_ref[c, 0, 0], p)
+        yh_ref[c, 0, 0] = s
+        yl_ref[c, 0, 0] += t + lo
+
+    for h, slot_idx in enumerate(kept):
+        chunk = h // nsl
+
+        @pl.when(os_ == chunk)
+        def _direct(h=h, slot_idx=slot_idx, chunk=chunk):
+            o0, o1, o2 = (int(v) for v in stencil[slot_idx])
+            xi = xpos[(o0 + 1, o1 + 1)]
+            for d in range(C):
+                xsh = xh_refs[xi][d, 0, 0, pl.ds(1 + o2, n2), :]
+                xsl = xl_refs[xi][d, 0, 0, pl.ds(1 + o2, n2), :]
+                for c in range(C):
+                    fold(c, w_dir[h - chunk * nsl, c, d, 0, 0], xsh, xsl)
+
+    n_chunks = -(-len(kept) // nsl)
+    for t_i, (oi, _pair) in enumerate(missing):
+
+        @pl.when(os_ == (t_i % n_chunks))
+        def _transpose(t_i=t_i, oi=oi):
+            o0, o1, o2 = (int(v) for v in stencil[oi])
+            xi = xpos[(o0 + 1, o1 + 1)]
+            for d in range(C):
+                xsh = xh_refs[xi][d, 0, 0, pl.ds(1 + o2, n2), :]
+                xsl = xl_refs[xi][d, 0, 0, pl.ds(1 + o2, n2), :]
+                for c in range(C):
+                    w = w_shift[t_i][0, d, c, 0, 0]  # (n2, P), note (d, c)
+                    # row shift by o2 (zero-fill: x's zero halo annihilates
+                    # out-of-lattice terms; shifting W rounds nothing)
+                    if o2 == 1:
+                        w = jnp.concatenate(
+                            [w[1:, :], jnp.zeros_like(w[:1, :])], axis=0
+                        )
+                    elif o2 == -1:
+                        w = jnp.concatenate(
+                            [jnp.zeros_like(w[:1, :]), w[: n2 - 1, :]], axis=0
+                        )
+                    fold(c, w, xsh, xsl)
+
+    @pl.when(os_ == nos - 1)
+    def _renorm():
+        for c in range(C):
+            s, e = _eft_two_sum(yh_ref[c, 0, 0], yl_ref[c, 0, 0])
+            yh_ref[c, 0, 0] = s
+            yl_ref[c, 0, 0] = e
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 6))
+def _apply_w_df_pallas_3d_sym(stencil, kept, nsl, W, xh, xl, interpret=False):
+    """Double-float sym-stencil apply as one Pallas pass: streams W once
+    (vs the XLA EFT chain's rematerialized full-lattice temporaries -
+    measured 35x a plain apply at 3D refs=4) and never needs the
+    row-chunked barrier path (_apply_w_df_rows): the EFT temporaries live
+    in registers/VMEM per pencil."""
+    H, C, _, n0, n1, n2, P = W.shape
+    pad = [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)]
+    xhp = jnp.pad(xh, pad)
+    xlp = jnp.pad(xl, pad)
+    kept_x = sorted({(int(o[0]) + 1, int(o[1]) + 1) for o in stencil})
+    pos = {k: i for i, k in enumerate(kept)}
+    neg = {}
+    for oi, o in enumerate(stencil):
+        neg[oi] = stencil.index(tuple(-v for v in o))
+    missing = tuple(
+        (oi, pos[neg[oi]]) for oi in range(len(stencil)) if oi not in pos
+    )
+    nos = -(-H // nsl)
+    if nos * nsl != H:
+        padn = nos * nsl - H
+        W = jnp.concatenate([W, jnp.zeros((padn,) + W.shape[1:], W.dtype)], 0)
+        kept = tuple(kept) + tuple(kept[:1]) * padn  # zero weights: harmless
+
+    x_specs = [
+        pl.BlockSpec(
+            (C, 1, 1, n2 + 2, P),
+            functools.partial(
+                lambda di, dj, i, j, s: (0, i + di, j + dj, 0, 0), di, dj
+            ),
+        )
+        for (di, dj) in kept_x
+    ]
+    w_dir_spec = pl.BlockSpec(
+        (nsl, C, C, 1, 1, n2, P), lambda i, j, s: (s, 0, 0, i, j, 0, 0)
+    )
+
+    def _shift_map(o0, o1, pair, i, j, s):
+        ii = jnp.clip(i + o0, 0, n0 - 1)
+        jj = jnp.clip(j + o1, 0, n1 - 1)
+        return (pair, 0, 0, ii, jj, 0, 0)
+
+    w_shift_specs = [
+        pl.BlockSpec(
+            (1, C, C, 1, 1, n2, P),
+            functools.partial(
+                _shift_map,
+                int(stencil[oi][0]),
+                int(stencil[oi][1]),
+                pair,
+            ),
+        )
+        for (oi, pair) in missing
+    ]
+    y_spec = pl.BlockSpec((C, 1, 1, n2, P), lambda i, j, s: (0, i, j, 0, 0))
+
+    kern = functools.partial(
+        _kernel_sym_df, stencil, tuple(kept), missing, nsl, n2, tuple(kept_x)
+    )
+    yh, yl = pl.pallas_call(
+        kern,
+        grid=(n0, n1, nos),
+        in_specs=[*(x_specs * 2), w_dir_spec, *w_shift_specs],
+        out_specs=(y_spec, y_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((C, n0, n1, n2, P), xh.dtype),
+            jax.ShapeDtypeStruct((C, n0, n1, n2, P), xh.dtype),
+        ),
+        interpret=interpret,
+    )(*([xhp] * len(kept_x)), *([xlp] * len(kept_x)), W, *([W] * len(missing)))
+    return yh, yl
+
+
+def apply_w_df_pallas(ps, W, xh, xl, slot_chunk: int | None = None):
+    """Drop-in for patchstencil's DF apply on 3D symmetric-half W."""
+    from .patchstencil import half_slots
+
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    kept = tuple(half_slots(ps))
+    return _apply_w_df_pallas_3d_sym(
+        stencil, kept, slot_chunk or _DF_SLOT_CHUNK, W, xh, xl
+    )
+
+
+def usable_df(ps, W, x) -> bool:
+    """DF-kernel applicability: the sym-storage 3D case the mixed-precision
+    deformation solve uses (full-stencil DF stays on the XLA path)."""
+    if not ENABLED or ps.dim != 3:
+        return False
+    if W.ndim != 7 or W.dtype != x.dtype:
+        return False
+    if x.dtype != jnp.float32:  # Dekker split constant is f32-specific
+        return False
+    from .patchstencil import half_slots
+
+    if W.shape[0] != len(half_slots(ps)):  # sym storage only
+        return False
+    if x.shape[1] < 16:
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def apply_w_pallas(ps, W, x, slot_chunk: int | None = None):

@@ -437,8 +437,19 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     (solvers.patch_mg.cg_ir_p); the TPU substitute for the reference's f64
     defect evaluation at 1e-12 tolerances (obstacle_optim_util.lua:35).
     ~6x the flops of apply_w, but used outside the Krylov hot loop.
-    Large lattices run row-chunked (_apply_w_df_rows) to bound the EFT
-    temporary footprint."""
+
+    On TPU with 3D sym-storage W, dispatches to the Pallas DF pencil
+    kernel (ops.pallas_stencil._kernel_sym_df): the XLA EFT chain
+    rematerializes full-lattice temporaries (measured 35x a plain apply at
+    3D refs=4 = 65 ms, and needs the row-chunked barrier path at refs=5);
+    the kernel streams W once with the (hi, lo) accumulators in VMEM.
+    Other cases run the XLA forms, row-chunked (_apply_w_df_rows) on large
+    lattices to bound the EFT temporary footprint."""
+    from . import pallas_stencil
+
+    if pallas_stencil.usable_df(ps, W, xh):
+        yh, yl = pallas_stencil.apply_w_df_pallas(ps, W, xh, xl)
+        return df.barrier_pair(yh, yl)
     rc = _df_row_chunk(xh, ps.dim)
     if rc is not None:
         inner = (

@@ -247,3 +247,42 @@ def test_pallas_apply_sym_interpret_matches_xla():
         stencil, kept, 4, W_sym, x, interpret=True
     )
     assert np.allclose(np.asarray(y_pal), np.asarray(y_ref), atol=1e-4)
+
+
+def test_pallas_apply_df_sym_interpret_matches_f64():
+    """Structural check of the double-float sym Pallas kernel (interpret
+    mode): slot selection, o2 row shifts, and transpose-pair W indexing all
+    match the f64 ground truth to f32 accuracy.  Interpret mode CANNOT
+    validate the O(eps^2) compensation — it lowers to XLA ops without the
+    optimization barriers, so XLA folds the EFT identities (exactly why the
+    kernel exists: Mosaic doesn't).  The precision bar (rel ~1e-13 vs f64,
+    measured 8.4e-14) is checked on real TPU by
+    scripts/perf/dfkernel_check.py."""
+    from admm_optim_tpu.ops import pallas_stencil as pst
+
+    hier = _hier(3, 2)
+    ps = build_patchset(hier)
+    lvl = ps.fine
+    P = lvl.gid.shape[0]
+    lat = lvl.lat_shape
+    C = 3
+    coords_p = st.to_patch(lvl, jnp.asarray(hier.fine.coords.T))
+    fn = lambda x: deformation_corner_mats(x, 1.0, 2.0, 0.5)
+    W_sym = jnp.asarray(st.assemble_w(ps, ps.k, coords_p, fn, sym=True), jnp.float32)
+    rng = np.random.default_rng(2)
+    x64 = rng.normal(size=(C,) + lat + (P,))
+    xh = jnp.asarray(x64, jnp.float32)
+    xl = jnp.asarray(x64 - np.asarray(xh, np.float64), jnp.float32)
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    kept = tuple(st.half_slots(ps))
+    yh, yl = pst._apply_w_df_pallas_3d_sym.__wrapped__(
+        stencil, kept, 4, W_sym, xh, xl, interpret=True
+    )
+    y_pal = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    # f64 ground truth on the expanded full stencil
+    W64 = jnp.asarray(st.expand_sym_w(ps, W_sym), jnp.float64)
+    y_ref = np.asarray(st.apply_w(ps, W64, jnp.asarray(x64)))
+    scale = np.abs(y_ref).max()
+    # f32-grade agreement proves the kernel applies the right W entries;
+    # a slot/shift/transpose bug would show as O(1) errors
+    assert np.abs(y_pal - y_ref).max() / scale < 1e-5
