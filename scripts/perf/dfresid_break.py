@@ -111,7 +111,7 @@ timeit(
 )
 timeit(
     "residual_df (full)",
-    lambda x, xl: patch_mg.residual_df(struct, data, b, x, xl),
-    10, xh, xl,
+    lambda x, xl, data, b: patch_mg.residual_df(struct, data, b, x, xl),
+    10, xh, xl, data, b,
 )
 print("DONE")
