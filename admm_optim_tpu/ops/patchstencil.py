@@ -589,6 +589,104 @@ class SpmdCtx:
     nshards: int
 
 
+_MAX_FACE_DELTAS = 4  # gather fallback beyond this many distinct strides
+
+
+def compute_face_deltas(lvl: PatchLevel) -> tuple | None:
+    """Static per-(axis, side) patch-index strides for the roll-based face
+    fetch, or None when the adjacency is not near-constant-stride.
+
+    geomgen emits bricks x-major on a (px, py, pz) grid, so the axis-a face
+    neighbor of patch p is p +- stride_a except where the obstacle hole
+    splits the grid (measured: <= 2 distinct deltas per face on the channel
+    meshes).  The lane-axis gather slab[..., nbr] then becomes a sum of
+    masked lane ROLLS - rolls are slices+concat at HBM bandwidth while TPU
+    gathers run at ~1 output element/cycle (the exchange was ~2x the stencil
+    apply's cost at 3D refs=4 before this).  Returns, per lattice axis, a
+    pair of sorted delta tuples."""
+    if not lvl.use_slab:
+        return None
+    ar = np.arange(lvl.P, dtype=np.int64)
+    out = []
+    for a in range(lvl.face_nbr.shape[0]):
+        sides = []
+        for sd in range(2):
+            valid = lvl.face_mask[a, sd] > 0
+            d = np.unique(lvl.face_nbr[a, sd][valid].astype(np.int64) - ar[valid])
+            if len(d) > _MAX_FACE_DELTAS:
+                return None
+            sides.append(tuple(int(v) for v in d))
+        out.append(tuple(sides))
+    return tuple(out)
+
+
+def _face_sel_masks(lvl: PatchLevel, face_deltas, dtype):
+    """(ndeltas, P) roll-selection masks per (axis, side): mask k selects
+    lanes whose axis neighbor sits at stride deltas[k], validity folded in.
+    Wrapped roll lanes self-mask (nbr < P implies i + delta < P on
+    selected lanes)."""
+    ar = np.arange(lvl.P, dtype=np.int64)
+    sel = []
+    for a in range(lvl.face_nbr.shape[0]):
+        sides = []
+        for sd in range(2):
+            valid = lvl.face_mask[a, sd] > 0
+            ds = face_deltas[a][sd]
+            m = np.zeros((max(len(ds), 1), lvl.P), np.float32)
+            for k, d in enumerate(ds):
+                m[k] = ((lvl.face_nbr[a, sd].astype(np.int64) - ar) == d) & valid
+            sides.append(jnp.asarray(m, dtype))
+        sel.append(tuple(sides))
+    return tuple(sel)
+
+
+def _corr_edge_tables(lvl: PatchLevel):
+    """Edge-line write-back maps for the correction pass.
+
+    Corr slots are lattice-EDGE sites in practice (sites duplicated by >2
+    patches sit on brick edges/corners), so 12 (3D) / 4 (2D) O(edge-line)
+    gathers replace the 2*dim O(face-slab) gathers, which dominated the
+    exchange cost (measured 0.77 of 1.07 ms at 3D refs=4 on v5e; edge lines
+    are ~lat x smaller than face slabs).  Returns (keys, maps): per edge a
+    static key (a, side_a, b, side_b) and an (lat_rest..., P) int32 1-based
+    group-id map - or (None, None) when some corr slot is not on an edge
+    (inverted face pairs can leave face-interior corr slots; keep the face
+    write-back then)."""
+    if not lvl.use_slab or not lvl.corr_nseg:
+        return None, None
+    lat = lvl.lat_shape
+    dim = len(lat)
+    P = lvl.P
+    mi = [np.asarray(v, np.int64) for v in lvl.corr_idx[:-1]]
+    pch = np.asarray(lvl.corr_idx[-1], np.int64)
+    corr_seg = lvl.corr_group_oh.argmax(axis=1).astype(np.int64)
+    extreme = [
+        (mi[a] == 0).astype(np.int8) + 2 * (mi[a] == lat[a] - 1)
+        for a in range(dim)
+    ]  # 0 = interior, 1 = lo face, 2 = hi face
+    covered = np.zeros(len(pch), bool)
+    keys, maps = [], []
+    for a in range(dim):
+        for b in range(a + 1, dim):
+            for sa in range(2):
+                for sb in range(2):
+                    on = (extreme[a] == sa + 1) & (extreme[b] == sb + 1)
+                    covered |= on
+                    rest = [c for c in range(dim) if c not in (a, b)]
+                    shape = tuple(lat[c] for c in rest) + (P,)
+                    flat = np.zeros(len(pch), np.int64)
+                    for c in rest:
+                        flat = flat * lat[c] + mi[c]
+                    flat = flat * P + pch
+                    sm = np.zeros(int(np.prod(shape)), np.int32)
+                    sm[flat[on]] = corr_seg[on] + 1
+                    keys.append((a, sa, b, sb))
+                    maps.append(sm.reshape(shape))
+    if not covered.all():
+        return None, None
+    return tuple(keys), maps
+
+
 def compute_halo_deltas(lvl: PatchLevel, nshards: int) -> tuple | None:
     """Static shard-offset sets for point-to-point halo exchange.
 
@@ -638,20 +736,31 @@ class LevelTables:
     free: jnp.ndarray
     face_nbr: jnp.ndarray | None
     face_mask: jnp.ndarray | None
+    # roll-based face fetch (single-device fast path): per (axis, side)
+    # (ndeltas, P) selection masks + static stride tuples (compute_face_deltas)
+    face_sel: tuple | None
     corr_idx: tuple | None
     corr_group_oh: jnp.ndarray | None
     corr_slot: tuple | None  # per face: (*slab, P) int32 1-based group id
+    # edge-line write-back (fast path; _corr_edge_tables): per edge key an
+    # (lat_rest..., P) int32 1-based group-id map, replicated under spmd
+    corr_edge_slot: tuple | None
     bslots: jnp.ndarray | None
     bseg: jnp.ndarray | None
     gid: jnp.ndarray | None = None  # (*lat, P) int32 global vertex ids
-    # padded duplicate-group tables for the error-free double-float exchange
-    # (exchange_sum_df, general/non-slab path): flat slot index / validity
-    # mask per (group, member)
-    dfg_idx: jnp.ndarray | None = None  # (nseg, K) int32
-    dfg_mask: jnp.ndarray | None = None  # (nseg, K) float32
-    # inverse map for the scatter-free write-back: per site/patch slot the
-    # 1-based duplicate-group id (0 = slot not duplicated).  Laid out
-    # (*lat, P) like gid so it shards on the patch axis under spmd.
+    # bucketed duplicate-group tables for the error-free double-float
+    # exchange (exchange_sum_df): per distinct group size k, a dense
+    # (g_k, k) flat-slot-index table - no padding lanes (most groups are
+    # pairs; the old single (nseg, Kmax) padded table gathered ~Kmax/2x the
+    # true member volume).  Group ids are renumbered bucket-major.
+    dfg_bidx: tuple | None = None  # per bucket: (g_k, k) int32
+    # face-slab write-back maps: per lattice face, (*slab, P) int32 1-based
+    # group id (0 = keep) - duplicated sites live only on lattice boundary
+    # faces, so 2*dim O(slab) gathers replace one O(lattice) gather.
+    # Sharded on the patch axis under spmd, like the fields themselves.
+    dfg_face_slot: tuple | None = None
+    # dense (*lat, P) inverse map - defensive fallback if face coverage
+    # ever fails (cannot happen for brick decompositions)
     dfg_slot: jnp.ndarray | None = None
     # static
     nseg: int = 0
@@ -661,17 +770,27 @@ class LevelTables:
     # static per-axis ((lo_deltas, hi_deltas), ...) shard offsets for the
     # point-to-point halo path (compute_halo_deltas); None = all-gather path
     halo_deltas: tuple | None = None
+    # static per-axis ((lo_deltas, hi_deltas), ...) PATCH-index strides for
+    # the roll-based face fetch (compute_face_deltas); None = gather path
+    face_deltas: tuple | None = None
+    # static edge keys (a, side_a, b, side_b) matching corr_edge_slot
+    corr_edge_keys: tuple | None = None
+    # static bucket sizes (k per bucket) matching dfg_bidx
+    dfg_bsizes: tuple = ()
 
     def tree_flatten(self):
         children = (
             self.owner, self.free, self.face_nbr, self.face_mask,
+            self.face_sel,
             self.corr_idx, self.corr_group_oh, self.corr_slot,
+            self.corr_edge_slot,
             self.bslots, self.bseg, self.gid,
-            self.dfg_idx, self.dfg_mask, self.dfg_slot,
+            self.dfg_bidx, self.dfg_face_slot, self.dfg_slot,
         )
         return children, (
             self.nseg, self.corr_nseg, self.use_slab, self.P_total,
-            self.halo_deltas,
+            self.halo_deltas, self.face_deltas, self.corr_edge_keys,
+            self.dfg_bsizes,
         )
 
     @classmethod
@@ -680,38 +799,100 @@ class LevelTables:
 
 
 def _df_group_tables(lvl: PatchLevel):
-    """(nseg, K) padded duplicate-group slot table for exchange_sum_df, plus
-    the inverse (*lat, P) per-slot 1-based group-id map for its scatter-free
-    write-back (0 = not duplicated)."""
+    """Bucketed duplicate-group tables for exchange_sum_df.
+
+    Groups are renumbered bucket-major (ascending member count); per
+    distinct count k a dense (g_k, k) flat-slot table folds with NO padding
+    lanes - most groups are pairs (3D refs=4: 130k of 138k), so the old
+    single (nseg, Kmax=8) padded table gathered ~3.8x the true member
+    volume.  Write-back goes through per-FACE slab maps: duplicated sites
+    live only on lattice boundary faces, so 2*dim O(slab) gathers replace
+    one O(lattice) gather through a dense inverse map.
+
+    Returns (bucket_sizes, bucket_idx, face_slot, dense_slot); face_slot is
+    None (with dense_slot set) only if some duplicated site is not on a
+    lattice face - impossible for brick decompositions, kept defensive."""
     if lvl.nseg == 0:
-        return None, None, None
-    order = np.argsort(lvl.bseg, kind="stable")
-    slots_s = lvl.bslots[order]
-    segs_s = lvl.bseg[order]
+        return (), None, None, None
     counts = np.bincount(lvl.bseg, minlength=lvl.nseg)
-    K = int(counts.max())
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    rank = np.arange(len(slots_s)) - starts[segs_s]
-    idx = np.zeros((lvl.nseg, K), np.int64)
-    mask = np.zeros((lvl.nseg, K), np.float32)
-    idx[segs_s, rank] = slots_s
-    mask[segs_s, rank] = 1.0
-    slot_group = np.zeros(int(np.prod(lvl.lat_shape)) * lvl.P, np.int32)
-    slot_group[lvl.bslots] = lvl.bseg + 1
-    slot_group = slot_group.reshape(lvl.lat_shape + (lvl.P,))
-    return idx, mask, slot_group
+    order_g = np.argsort(counts, kind="stable")
+    new_of_old = np.empty(lvl.nseg, np.int64)
+    new_of_old[order_g] = np.arange(lvl.nseg)
+    new_seg = new_of_old[lvl.bseg]
+    order_m = np.argsort(new_seg, kind="stable")
+    slots_s = lvl.bslots[order_m]
+    counts_sorted = counts[order_g]
+    sizes, bidx = [], []
+    mpos = 0
+    for k in np.unique(counts_sorted):
+        g_k = int((counts_sorted == k).sum())
+        k = int(k)
+        sizes.append(k)
+        bidx.append(slots_s[mpos : mpos + g_k * k].reshape(g_k, k))
+        mpos += g_k * k
+    assert mpos == len(slots_s)
+    P = lvl.P
+    lat = lvl.lat_shape
+    dim = len(lat)
+    site = lvl.bslots // P
+    pch = (lvl.bslots % P).astype(np.int64)
+    mi = np.unravel_index(site, lat)
+    covered = np.zeros(len(lvl.bslots), bool)
+    face_maps = []
+    for f in range(2 * dim):
+        a, sd = f // 2, f % 2
+        onface = mi[a] == (0 if sd == 0 else lat[a] - 1)
+        covered |= onface
+        rest = [mi[b] for b in range(dim) if b != a]
+        slab_shape = tuple(lat[b] for b in range(dim) if b != a) + (P,)
+        flat = np.zeros(len(site), np.int64)
+        for b, r in enumerate(rest):
+            flat = flat * slab_shape[b] + r.astype(np.int64)
+        flat = flat * P + pch
+        sm = np.zeros(int(np.prod(slab_shape)), np.int32)
+        sm[flat[onface]] = new_seg[onface] + 1
+        face_maps.append(sm.reshape(slab_shape))
+    if bool(covered.all()):
+        return tuple(sizes), bidx, face_maps, None
+    dense = np.zeros(int(np.prod(lat)) * P, np.int32)
+    dense[lvl.bslots] = new_seg + 1
+    return tuple(sizes), bidx, None, dense.reshape(lat + (P,))
+
+
+def df_table_info(lvl: PatchLevel):
+    """(bucket_sizes, faces_cover): static structure of the DF tables, for
+    building spec pytrees that must match make_tables' output structure
+    (parallel.patch_shard.table_specs)."""
+    if lvl.nseg == 0:
+        return (), True
+    counts = np.bincount(lvl.bseg, minlength=lvl.nseg)
+    sizes = tuple(int(k) for k in np.unique(counts))
+    site = lvl.bslots // lvl.P
+    mi = np.unravel_index(site, lvl.lat_shape)
+    lat = lvl.lat_shape
+    onb = np.zeros(len(lvl.bslots), bool)
+    for a in range(len(lat)):
+        onb |= (mi[a] == 0) | (mi[a] == lat[a] - 1)
+    return sizes, bool(onb.all())
 
 
 def make_tables(
     lvl: PatchLevel, dtype=jnp.float32, nshards: int | None = None
 ) -> LevelTables:
     slab = lvl.use_slab
-    dfg_idx, dfg_mask, dfg_slot = _df_group_tables(lvl)
+    dfg_bsizes, dfg_bidx, dfg_face, dfg_slot = _df_group_tables(lvl)
+    face_deltas = compute_face_deltas(lvl)
+    edge_keys, edge_maps = _corr_edge_tables(lvl)
     return LevelTables(
         owner=jnp.asarray(lvl.owner, dtype),
         free=jnp.asarray(lvl.free, dtype),
         face_nbr=jnp.asarray(lvl.face_nbr) if slab else None,
         face_mask=jnp.asarray(lvl.face_mask, dtype) if slab else None,
+        face_sel=(
+            _face_sel_masks(lvl, face_deltas, dtype)
+            if face_deltas is not None
+            else None
+        ),
         corr_idx=(
             tuple(jnp.asarray(i) for i in lvl.corr_idx)
             if slab and lvl.corr_nseg
@@ -725,17 +906,33 @@ def make_tables(
             if slab and lvl.corr_nseg
             else None
         ),
+        corr_edge_slot=(
+            tuple(jnp.asarray(sm) for sm in edge_maps)
+            if edge_maps is not None
+            else None
+        ),
         bslots=None if slab else jnp.asarray(lvl.bslots),
         bseg=None if slab else jnp.asarray(lvl.bseg),
         gid=jnp.moveaxis(jnp.asarray(lvl.gid), 0, -1),
-        dfg_idx=None if dfg_idx is None else jnp.asarray(dfg_idx, jnp.int32),
-        dfg_mask=None if dfg_mask is None else jnp.asarray(dfg_mask, dtype),
+        dfg_bidx=(
+            None
+            if dfg_bidx is None
+            else tuple(jnp.asarray(b, jnp.int32) for b in dfg_bidx)
+        ),
+        dfg_face_slot=(
+            None
+            if dfg_face is None
+            else tuple(jnp.asarray(sm) for sm in dfg_face)
+        ),
         dfg_slot=None if dfg_slot is None else jnp.asarray(dfg_slot, jnp.int32),
         nseg=lvl.nseg,
         corr_nseg=lvl.corr_nseg,
         use_slab=slab,
         P_total=lvl.P,
         halo_deltas=compute_halo_deltas(lvl, nshards) if nshards else None,
+        face_deltas=face_deltas,
+        corr_edge_keys=edge_keys,
+        dfg_bsizes=dfg_bsizes,
     )
 
 
@@ -782,12 +979,27 @@ def _exchange_segsum(tab: LevelTables, x):
     return xf.at[:, tab.bslots].set(s[:, tab.bseg]).reshape(x.shape)
 
 
+def _face_fetch(tab: LevelTables, slab_src, a, sd):
+    """Neighbor face values for axis a, side sd: validity-masked, zeros
+    where no neighbor.  Roll path when the adjacency is constant-stride
+    (compute_face_deltas; lane rolls are slices at HBM bandwidth), lane
+    gather otherwise (~1 element/cycle on TPU)."""
+    if tab.face_deltas is not None:
+        out = None
+        for k, d in enumerate(tab.face_deltas[a][sd]):
+            sel = tab.face_sel[a][sd][k].astype(slab_src.dtype)
+            t = (jnp.roll(slab_src, -d, axis=-1) if d else slab_src) * sel
+            out = t if out is None else out + t
+        return jnp.zeros_like(slab_src) if out is None else out
+    nbr = tab.face_nbr
+    mask = tab.face_mask.astype(slab_src.dtype)
+    return slab_src[..., nbr[a, sd]] * mask[a, sd]
+
+
 def _exchange_slab(tab: LevelTables, x):
     dim = x.ndim - 2  # (C, *lat, P)
     C = x.shape[0]
     lat = x.shape[1 : 1 + dim]
-    nbr = tab.face_nbr
-    mask = tab.face_mask.astype(x.dtype)
     x_in = x
     for a in range(dim):
         lo = [slice(None)] * (dim + 2)
@@ -795,13 +1007,23 @@ def _exchange_slab(tab: LevelTables, x):
         lo[1 + a], hi[1 + a] = 0, lat[a] - 1
         lo, hi = tuple(lo), tuple(hi)
         slab_lo, slab_hi = x[lo], x[hi]
-        new_lo = slab_lo + slab_hi[..., nbr[a, 0]] * mask[a, 0]
-        new_hi = slab_hi + slab_lo[..., nbr[a, 1]] * mask[a, 1]
+        new_lo = slab_lo + _face_fetch(tab, slab_hi, a, 0)
+        new_hi = slab_hi + _face_fetch(tab, slab_lo, a, 1)
         x = x.at[lo].set(new_lo).at[hi].set(new_hi)
     if tab.corr_nseg:
         vals = x_in[(slice(None),) + tab.corr_idx]
         sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
         sums0 = jnp.concatenate([jnp.zeros((C, 1), x.dtype), sums], axis=1)
+        if tab.corr_edge_slot is not None:
+            # edge-line write-back: ~lat x less gather volume than faces
+            for (a, sa, b, sb), sm in zip(tab.corr_edge_keys, tab.corr_edge_slot):
+                sl = [slice(None)] * (dim + 2)
+                sl[1 + a] = 0 if sa == 0 else lat[a] - 1
+                sl[1 + b] = 0 if sb == 0 else lat[b] - 1
+                sl = tuple(sl)
+                dense = sums0[:, sm]  # (C, *line, P) gather
+                x = x.at[sl].set(jnp.where((sm > 0)[None], dense, x[sl]))
+            return x
         for f in range(2 * dim):
             a, sd = f // 2, f % 2
             sl = [slice(None)] * (dim + 2)
@@ -879,6 +1101,18 @@ def _exchange_slab_spmd(tab: LevelTables, x, spmd: SpmdCtx):
         vals = jax.lax.psum(vals, spmd.axis)  # (C, Bc) replicated
         sums = vals @ tab.corr_group_oh.astype(x.dtype)  # (C, G)
         sums0 = jnp.concatenate([jnp.zeros((C, 1), x.dtype), sums], axis=1)
+        if tab.corr_edge_slot is not None:
+            for (a, sa, b, sb), sm in zip(tab.corr_edge_keys, tab.corr_edge_slot):
+                sl = [slice(None)] * (dim + 2)
+                sl[1 + a] = 0 if sa == 0 else lat[a] - 1
+                sl[1 + b] = 0 if sb == 0 else lat[b] - 1
+                sl = tuple(sl)
+                sm_loc = jax.lax.dynamic_slice_in_dim(
+                    sm, off, Pl, axis=sm.ndim - 1
+                )
+                dense = sums0[:, sm_loc]
+                x = x.at[sl].set(jnp.where((sm_loc > 0)[None], dense, x[sl]))
+            return x
         for f in range(2 * dim):
             a, sd = f // 2, f % 2
             sl = [slice(None)] * (dim + 2)
@@ -956,41 +1190,67 @@ def exchange_sum_df(tab: LevelTables, xh, xl, spmd: SpmdCtx | None = None):
 
     Under ``spmd`` each slot's value lives on exactly one shard; psums of
     zero-masked values are exact (adding zeros is error-free)."""
-    if tab.dfg_idx is None:
+    if not tab.dfg_bsizes:
         return xh, xl
     C = xh.shape[0]
     xfh = xh.reshape(C, -1)
     xfl = xl.reshape(C, -1)
-    if spmd is None:
-        m = tab.dfg_mask.astype(xh.dtype)
-        vh = xfh[:, tab.dfg_idx] * m
-        vl = xfl[:, tab.dfg_idx] * m
-    else:
-        Pl = xh.shape[-1]
-        P = tab.P_total
-        off = _shard_offset(tab, Pl, spmd)
-        site = tab.dfg_idx // P
-        pch = tab.dfg_idx % P
-        local = (pch >= off) & (pch < off + Pl)
-        loc_flat = site * Pl + jnp.clip(pch - off, 0, Pl - 1)
-        m = tab.dfg_mask.astype(xh.dtype) * local.astype(xh.dtype)
-        vh = jax.lax.psum(xfh[:, loc_flat] * m, spmd.axis)
-        vl = jax.lax.psum(xfl[:, loc_flat] * m, spmd.axis)
-    K = vh.shape[-1]
-    sh, sl_ = vh[..., 0], vl[..., 0]
-    for j in range(1, K):
-        sh, e = df.two_sum(sh, vh[..., j])
-        sl_ = sl_ + e + vl[..., j]
-    sh, sl_ = df.two_sum(sh, sl_)  # (C, nseg)
-    # scatter-free write-back: gather each slot's group value through the
-    # inverse (*lat, P[_local]) 1-based group map (dynamic scatters into
-    # large arrays cost ~5 ms on v5e regardless of index count; this is one
-    # gather + select).  dfg_slot shards like the field itself, so the spmd
-    # path needs no index translation.
-    gidx = tab.dfg_slot.reshape(-1)  # (S_loc,)
+    # bucketed group folds: per distinct group size k a dense (g_k, k)
+    # gather + two_sum chain - no padding lanes (most groups are pairs)
+    sums_h, sums_l = [], []
+    for bi, k in enumerate(tab.dfg_bsizes):
+        idx = tab.dfg_bidx[bi]  # (g_k, k)
+        if spmd is None:
+            vh = xfh[:, idx]
+            vl = xfl[:, idx]
+        else:
+            Pl = xh.shape[-1]
+            P = tab.P_total
+            off = _shard_offset(tab, Pl, spmd)
+            site = idx // P
+            pch = idx % P
+            local = (pch >= off) & (pch < off + Pl)
+            loc_flat = site * Pl + jnp.clip(pch - off, 0, Pl - 1)
+            m = local.astype(xh.dtype)
+            vh = jax.lax.psum(xfh[:, loc_flat] * m, spmd.axis)
+            vl = jax.lax.psum(xfl[:, loc_flat] * m, spmd.axis)
+        sh, sl_ = vh[..., 0], vl[..., 0]
+        for j in range(1, k):
+            sh, e = df.two_sum(sh, vh[..., j])
+            sl_ = sl_ + e + vl[..., j]
+        sums_h.append(sh)
+        sums_l.append(sl_)
+    sh = jnp.concatenate(sums_h, axis=1)  # (C, nseg), bucket-major ids
+    sl_ = jnp.concatenate(sums_l, axis=1)
+    sh, sl_ = df.two_sum(sh, sl_)
     pad = jnp.zeros((C, 1), xh.dtype)
-    gh = jnp.concatenate([pad, sh], axis=1)[:, gidx]  # (C, S_loc)
-    gl = jnp.concatenate([pad, sl_], axis=1)[:, gidx]
+    sh0 = jnp.concatenate([pad, sh], axis=1)
+    sl0 = jnp.concatenate([pad, sl_], axis=1)
+    if tab.dfg_face_slot is not None:
+        # face-slab write-back: duplicated sites live only on lattice
+        # boundary faces; 2*dim O(slab) gathers instead of one O(lattice)
+        # gather.  Writing a shared edge/corner site from several faces is
+        # idempotent (same group value).  dfg_face_slot shards like the
+        # field itself, so the spmd path needs no index translation.
+        dim = xh.ndim - 2
+        lat = xh.shape[1 : 1 + dim]
+        outh, outl = xh, xl
+        for f in range(2 * dim):
+            a, sd = f // 2, f % 2
+            sl = [slice(None)] * (dim + 2)
+            sl[1 + a] = 0 if sd == 0 else lat[a] - 1
+            sl = tuple(sl)
+            sm = tab.dfg_face_slot[f]  # (*slab, P[_local]) int32, 0 = keep
+            gh = sh0[:, sm]
+            gl = sl0[:, sm]
+            dup = (sm > 0)[None]
+            outh = outh.at[sl].set(jnp.where(dup, gh, outh[sl]))
+            outl = outl.at[sl].set(jnp.where(dup, gl, outl[sl]))
+        return df.barrier_pair(outh, outl)
+    # defensive dense fallback (duplicates off the lattice boundary)
+    gidx = tab.dfg_slot.reshape(-1)  # (S_loc,)
+    gh = sh0[:, gidx]  # (C, S_loc)
+    gl = sl0[:, gidx]
     dup = (gidx > 0)[None]
     outh = jnp.where(dup, gh, xfh)
     outl = jnp.where(dup, gl, xfl)

@@ -79,11 +79,25 @@ class ShardedPatchMG:
             if lvl_idx < self.struct.replicate_below
             else P(*([None] * dim + [self.axis]))
         )
+        face_deltas = st.compute_face_deltas(lvl)
+        edge_keys, edge_maps = st._corr_edge_tables(lvl)
+        bsizes, faces_cover = st.df_table_info(lvl)
+        # dfg_face_slot is (*slab, P): lattice dims minus the face axis
+        fslab = (
+            rep
+            if lvl_idx < self.struct.replicate_below
+            else P(*([None] * (dim - 1) + [self.axis]))
+        )
         return st.LevelTables(
             owner=shard,
             free=shard,
             face_nbr=rep if lvl.use_slab else None,
             face_mask=rep if lvl.use_slab else None,
+            face_sel=(
+                tuple(tuple(rep for _ in sides) for sides in face_deltas)
+                if face_deltas is not None
+                else None
+            ),
             corr_idx=(
                 tuple(rep for _ in lvl.corr_idx)
                 if lvl.use_slab and lvl.corr_nseg
@@ -95,12 +109,19 @@ class ShardedPatchMG:
                 if lvl.use_slab and lvl.corr_nseg
                 else None
             ),
+            corr_edge_slot=(
+                tuple(rep for _ in edge_maps) if edge_maps is not None else None
+            ),
             bslots=None if lvl.use_slab else rep,
             bseg=None if lvl.use_slab else rep,
             gid=shard,
-            dfg_idx=rep if lvl.nseg else None,
-            dfg_mask=rep if lvl.nseg else None,
-            dfg_slot=shard if lvl.nseg else None,
+            dfg_bidx=tuple(rep for _ in bsizes) if bsizes else None,
+            dfg_face_slot=(
+                tuple(fslab for _ in range(2 * dim))
+                if bsizes and faces_cover
+                else None
+            ),
+            dfg_slot=shard if (bsizes and not faces_cover) else None,
             nseg=lvl.nseg,
             corr_nseg=lvl.corr_nseg,
             use_slab=lvl.use_slab,
@@ -108,6 +129,9 @@ class ShardedPatchMG:
             # static aux must match make_tables' (pytree equality under
             # shard_map in_specs / tree_map placement)
             halo_deltas=st.compute_halo_deltas(lvl, self.n_shards),
+            face_deltas=face_deltas,
+            corr_edge_keys=edge_keys,
+            dfg_bsizes=bsizes,
         )
 
     def field_spec(self, extra_leading: int = 1) -> P:

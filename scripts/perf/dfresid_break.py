@@ -67,8 +67,8 @@ data = assemble(coords, tabs)
 float(data.lmax[-1])
 tab = data.tabs[ps.k]
 W = data.W[ps.k]
-log(f"refs={REFS}, dofs={fine.num_vertices * hier.dim}, dfg_idx "
-    f"{None if tab.dfg_idx is None else tab.dfg_idx.shape}")
+log(f"refs={REFS}, dofs={fine.num_vertices * hier.dim}, dfg buckets "
+    f"{tab.dfg_bsizes}")
 
 rng = np.random.default_rng(0)
 xh = st.to_patch(ps.fine, jnp.asarray(
