@@ -286,3 +286,58 @@ def test_pallas_apply_df_sym_interpret_matches_f64():
     # f32-grade agreement proves the kernel applies the right W entries;
     # a slot/shift/transpose bug would show as O(1) errors
     assert np.abs(y_pal - y_ref).max() / scale < 1e-5
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 2)])
+def test_exchange_fast_paths_match_gather_fallbacks(dim, refs, monkeypatch):
+    """The roll-based face fetch, edge-line correction write-back, and
+    face-slab DF write-back must agree exactly with the generic gather
+    fallbacks they replace (which remain live for non-brick adjacency)."""
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    lvl = ps.fine
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(dim,) + lvl.lat_shape + (lvl.P,)))
+    xh = x.astype(jnp.float32)
+    xl = jnp.asarray(rng.normal(size=x.shape), jnp.float32) * 1e-8
+
+    tab_fast = st.make_tables(lvl, x.dtype)
+    assert tab_fast.face_deltas is not None  # brick meshes take the rolls
+    assert tab_fast.corr_edge_keys is not None or lvl.corr_nseg == 0
+    assert tab_fast.dfg_face_slot is not None or lvl.nseg == 0
+
+    orig_dfg = st._df_group_tables
+
+    def dfg_dense_only(l):
+        sizes, bidx, face, dense = orig_dfg(l)
+        if face is not None:
+            # rebuild the dense inverse map from the face maps
+            lat, P = l.lat_shape, l.P
+            d = np.zeros(lat + (P,), np.int32)
+            for f, sm in enumerate(face):
+                a, sd = f // 2, f % 2
+                sl = [slice(None)] * (len(lat) + 1)
+                sl[a] = 0 if sd == 0 else lat[a] - 1
+                cur = d[tuple(sl)]
+                d[tuple(sl)] = np.where(np.asarray(sm) > 0, np.asarray(sm), cur)
+            face, dense = None, d
+        return sizes, bidx, face, dense
+
+    monkeypatch.setattr(st, "_MAX_FACE_DELTAS", 0)  # kill the roll path
+    monkeypatch.setattr(st, "_corr_edge_tables", lambda l: (None, None))
+    monkeypatch.setattr(st, "_df_group_tables", dfg_dense_only)
+    tab_slow = st.make_tables(lvl, x.dtype)
+    assert tab_slow.face_deltas is None
+    assert tab_slow.corr_edge_slot is None
+    assert tab_slow.dfg_face_slot is None and (
+        tab_slow.dfg_slot is not None or lvl.nseg == 0
+    )
+
+    y_fast = st.exchange_sum(lvl, x, tab=tab_fast)
+    y_slow = st.exchange_sum(lvl, x, tab=tab_slow)
+    assert np.array_equal(np.asarray(y_fast), np.asarray(y_slow))
+
+    fh, fl = st.exchange_sum_df(tab_fast, xh, xl)
+    sh_, sl_ = st.exchange_sum_df(tab_slow, xh, xl)
+    assert np.array_equal(np.asarray(fh), np.asarray(sh_))
+    assert np.array_equal(np.asarray(fl), np.asarray(sl_))
