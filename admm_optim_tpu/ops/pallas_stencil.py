@@ -172,25 +172,31 @@ def _kernel_sym(stencil, kept, missing, nsl, n2, kept_xidx, *refs):
 
         @pl.when(os_ == (t % n_chunks))
         def _transpose(t=t, oi=oi):
+            # contribution of missing slot mu = stencil[oi] = -o (o stored):
+            # y(s) += z(s + mu2) with z(r) = W_o(r)^T x(r), BOTH read at the
+            # (i+mu0, j+mu1) pencil with ALIGNED rows - one zero-fill shift
+            # of the C contracted products instead of C*C shifted-W copies
+            # (measured: the per-(d,c) W row concats were ~40% of the
+            # transpose branch's VPU time)
             o0, o1, o2 = (int(v) for v in stencil[oi])
             xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
             acc = [None] * C
             for d in range(C):
-                xs = xr[d, 0, 0, pl.ds(1 + o2, n2), :]
+                xs = xr[d, 0, 0, pl.ds(1, n2), :]  # centered rows
                 for c in range(C):
-                    w = w_shift[t][0, d, c, 0, 0]  # (n2, P), note (d, c)
-                    if o2 == 1:
-                        w = jnp.concatenate(
-                            [w[1:, :], jnp.zeros_like(w[:1, :])], axis=0
-                        )
-                    elif o2 == -1:
-                        w = jnp.concatenate(
-                            [jnp.zeros_like(w[:1, :]), w[: n2 - 1, :]], axis=0
-                        )
-                    t_ = w * xs
+                    t_ = w_shift[t][0, d, c, 0, 0] * xs  # (d, c): transpose
                     acc[c] = t_ if acc[c] is None else acc[c] + t_
             for c in range(C):
-                y_ref[c, 0, 0] += acc[c]
+                u = acc[c]
+                if o2 == 1:
+                    u = jnp.concatenate(
+                        [u[1:, :], jnp.zeros_like(u[:1, :])], axis=0
+                    )
+                elif o2 == -1:
+                    u = jnp.concatenate(
+                        [jnp.zeros_like(u[:1, :]), u[: n2 - 1, :]], axis=0
+                    )
+                y_ref[c, 0, 0] += u
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 5))

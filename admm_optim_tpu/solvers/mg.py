@@ -118,7 +118,11 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
     z = inv_d * r
     d_vec = z / theta
     x = x + d_vec
-    sigma_old = theta / delta if degree > 1 else 1.0
+    # rho_0 = delta/theta seeds the Chebyshev rho-recurrence (Saad Alg.
+    # 12.1); see solvers.patch_mg.chebyshev_smooth_p for the measured
+    # impact of the former theta/delta seed (realized polynomial was far
+    # from Chebyshev-optimal; degree 2 didn't damp at all).
+    sigma_old = delta / theta if degree > 1 else 1.0
 
     def body(i, carry):
         x, d_vec, sigma_old = carry

@@ -301,7 +301,12 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=Non
     z = inv_diag * r
     d_vec = z / theta
     x = x + d_vec
-    sigma_old = theta / delta if degree > 1 else 1.0
+    # rho_0 = delta/theta seeds the Chebyshev rho-recurrence (Saad Alg.
+    # 12.1).  Seeding with sigma_1 = theta/delta instead makes the first
+    # recurrence coefficient rho_1*rho_0 = 1 and the realized polynomial is
+    # NOT the Chebyshev one: measured error factors 1.00/0.43 (deg 2/3) vs
+    # the optimal 0.22/0.074 on [0.25, 1] - degree 2 didn't damp at all.
+    sigma_old = delta / theta if degree > 1 else 1.0
 
     def body(i, carry):
         x, d_vec, sigma_old = carry

@@ -88,3 +88,34 @@ def test_bicgstab_with_mg(setup2d):
     res = krylov.bicgstab(A, b, M=mg.make_preconditioner(struct, data), max_iters=60, abs_tol=1e-11)
     assert bool(res.converged)
     assert int(res.iters) < 20
+
+
+def test_chebyshev_polynomial_is_optimal(monkeypatch):
+    """The realized smoothing polynomial must match the true Chebyshev
+    error factor 1/cosh(k*acosh(sigma)) on the target interval (regression
+    for the rho-recurrence seed: the former theta/delta seed realized a
+    non-Chebyshev polynomial - error factor 1.0 at degree 2, i.e. no
+    damping at all, and 0.43 vs optimal 0.074 at degree 3)."""
+    lower, lmax = 0.25, 1.0
+    lams = jnp.linspace(lower * lmax, lmax, 201)
+    # diagonal operator via a monkeypatched spmv: A = diag(lams)
+    monkeypatch.setattr(
+        mg.sparsity, "spmv_flat", lambda pat, vals, x: vals * x
+    )
+    b = lams * 1.0  # exact solution = ones
+    x = mg.chebyshev_smooth(
+        None, lams, jnp.ones_like(lams), lmax, jnp.zeros_like(lams), b,
+        degree=3, lower=lower,
+    )
+    worst = float(jnp.max(jnp.abs(1.0 - x)))
+    sigma = (lmax + lower * lmax) / (lmax - lower * lmax)
+    optimal = 1.0 / float(np.cosh(3 * np.arccosh(sigma)))
+    assert worst < optimal * 1.05, (worst, optimal)
+
+    x2 = mg.chebyshev_smooth(
+        None, lams, jnp.ones_like(lams), lmax, jnp.zeros_like(lams), b,
+        degree=2, lower=lower,
+    )
+    worst2 = float(jnp.max(jnp.abs(1.0 - x2)))
+    optimal2 = 1.0 / float(np.cosh(2 * np.arccosh(sigma)))
+    assert worst2 < optimal2 * 1.05, (worst2, optimal2)
