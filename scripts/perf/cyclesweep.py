@@ -34,7 +34,7 @@ def warm():
 
 threading.Thread(target=warm, daemon=True).start()
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import bench as benchmod
 from admm_optim_tpu.ops import patchstencil as st
 from admm_optim_tpu.ops import sparsity

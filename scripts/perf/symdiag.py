@@ -33,7 +33,7 @@ def warm():
 
 threading.Thread(target=warm, daemon=True).start()
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 import bench as benchmod
 from admm_optim_tpu.ops import patchstencil as st
 from admm_optim_tpu.ops import pallas_stencil as pst
@@ -125,6 +125,8 @@ for nsl in (2, 8):
         50, b_p, W_sym,
     )
 pst.ENABLED = False
-timeit("xla sym", lambda x, W: st.apply_w(ps, W, x), 20, b_p, W_sym)
-pst.ENABLED = True
+try:
+    timeit("xla sym", lambda x, W: st.apply_w(ps, W, x), 20, b_p, W_sym)
+finally:
+    pst.ENABLED = True
 print("DONE")

@@ -13,6 +13,8 @@ from admm_optim_tpu.ops.geometry import elem_geometry
 from admm_optim_tpu.optim import admm
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def result():
     cfg = ProblemConfig(

@@ -12,6 +12,8 @@ from admm_optim_tpu.optim import admm
 from admm_optim_tpu.solvers import ns_solver
 
 
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def result():
     # budgets sized for step 1 on the deformed mesh at sigma=0.3: the 3D
