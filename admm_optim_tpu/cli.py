@@ -80,7 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
       help="write a VTU of every ADMM iterate's u (2d:84); runs the "
            "host-stepped ADMM driver")
     a("-bNewtonOutput", type=int, default=0,
-      help="print per-step NS/x-update iteration detail (2d:75)")
+      help="print per-step NS/x-update iteration detail (2d:75) and write "
+           "__NewtonStats_step_N_/__NewtonIterations_step_N_ (2d:1256-1259)")
+    a("-debugNans", type=int, default=0,
+      help="finite checks at every outer-loop phase boundary (raises "
+           "naming the phase) + jax_debug_nans op-level localization")
     a("-bSaveFailures", type=int, default=1,
       help="catalogue non-descent steps to __Failure_Data.txt (2d:87)")
     a("-bActivateProfiler", type=int, default=0)
@@ -103,6 +107,10 @@ def main(argv=None) -> int:
     if args.x64:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    if args.debugNans:
+        from .utils.debug import enable_nan_debug
+
+        enable_nan_debug()
 
     from .io.telemetry import TelemetryWriter
     from .models.obstacle import ObstacleShapeOpt, ProblemConfig, f32_presets
@@ -126,6 +134,8 @@ def main(argv=None) -> int:
         backend=args.backend,
         pressure_precond=args.pressurePrecond,
         vel_inner=args.velInner,
+        newton_output=bool(args.bNewtonOutput),
+        debug_nans=bool(args.debugNans),
         admm=ADMMConfig(
             admm_steps=args.admmSteps,
             admm_tolerance=args.admm_tolerance,

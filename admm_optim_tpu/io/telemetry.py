@@ -51,6 +51,39 @@ class TelemetryWriter:
             [fsteps, at_step, fdrag, fdiff, fthresh],
         )
 
+    def write_newton_stats(self, step, rows: list[list]) -> None:
+        """__NewtonStats_step_N_.txt (2d_admm.lua:1256-1257): per Newton
+        iteration of the LAST ADMM iteration, columns
+        [step, norm_sum, |delta_u|, |delta_Lambda|, |Lu|]."""
+        cols = [
+            [i + 1 for i in range(len(rows))],
+            [r[0] for r in rows],
+            [r[1] for r in rows],
+            [r[2] for r in rows],
+            [r[3] for r in rows],
+        ]
+        write_columns(
+            os.path.join(self.out_dir, f"__NewtonStats_step_{step}_.txt"), cols
+        )
+
+    def write_newton_iterations(self, step, rows: list[list]) -> None:
+        """__NewtonIterations_step_N_.txt (2d_admm.lua:1258-1259): columns
+        [step, rhs_iters, Bvol_iters, Bx_iters, By_iters(, Bz_iters),
+        large_iters].  rows carry [.., .., .., .., rhs, vol, bx, by(, bz)];
+        the reference's extra 'large problem' solve is eliminated
+        algebraically here (optim.admm module docstring) so its column is a
+        constant 0."""
+        steps = [i + 1 for i in range(len(rows))]
+        cols = [steps, [int(r[4]) for r in rows]]
+        m = len(rows[0]) - 5 if rows else 0
+        for j in range(m):
+            cols.append([int(r[5 + j]) for r in rows])
+        cols.append([0 for _ in rows])  # LargeSolver (eliminated)
+        write_columns(
+            os.path.join(self.out_dir, f"__NewtonIterations_step_{step}_.txt"),
+            cols,
+        )
+
     def write_admm_stats(self, step, rows: dict):
         cols = [rows[k] for k in sorted(rows)]
         write_columns(

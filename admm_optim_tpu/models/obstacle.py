@@ -37,6 +37,7 @@ from ..ops.geometry import elem_geometry
 from ..ops.p1space import P1VectorSpace
 from ..optim import admm
 from ..solvers import mg, ns_solver
+from ..utils import debug
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +89,15 @@ class ProblemConfig:
     # dead-ends step 1); halving scaling shrinks the step instead.  "auto"
     # follows the reference's dimension-specific convention.
     admm_failure_control: str = "auto"  # "auto" | "sigma" | "scaling"
+    # -bNewtonOutput (2d:83): write __NewtonStats_step_N_ /
+    # __NewtonIterations_step_N_ per accepted step.  Forces the host-stepped
+    # ADMM driver (the per-iteration histories live on the host there).
+    newton_output: bool = False
+    # -debugNans: host-side finite checks at every outer-loop phase boundary
+    # (adjoint / J' / assemble / ADMM / NS re-solve); raises
+    # utils.debug.NonFiniteError naming the phase (SURVEY section 5 NaN-
+    # debugging row).  Combine with jax_debug_nans for op-level location.
+    debug_nans: bool = False
     admm: admm.ADMMConfig = dataclasses.field(default_factory=admm.ADMMConfig)
     ns: ns_solver.NewtonConfig = dataclasses.field(default_factory=ns_solver.NewtonConfig)
 
@@ -668,12 +678,16 @@ class ObstacleShapeOpt:
 
         self._global_ops_builder = _global_ops_builder
 
-        def _admm_dispatch(mgdata, X, Jp, sigma, scaling, iter_cb=None):
+        def _admm_dispatch(mgdata, X, Jp, sigma, scaling, iter_cb=None,
+                           newton_hist_out=None, full_stats_out=None):
             # the host-stepped driver runs when the problem is large (one
-            # device execution per ADMM iteration) OR when the caller wants
-            # every iterate's u (-bOutputIntermediateUp, 2d:84) - the
-            # monolithic jitted loop never materializes intermediates
-            if self._admm_stepped_on or iter_cb is not None:
+            # device execution per ADMM iteration), when the caller wants
+            # every iterate's u (-bOutputIntermediateUp, 2d:84), or when
+            # per-Newton-iteration telemetry is requested (-bNewtonOutput,
+            # 2d:1256-1259) - the monolithic jitted loop never materializes
+            # intermediates
+            if (self._admm_stepped_on or iter_cb is not None
+                    or newton_hist_out is not None):
                 if self.use_patch:
                     coords_p, Jp_p = self._patch_conv(X, Jp)
                     cb = (
@@ -686,6 +700,8 @@ class ObstacleShapeOpt:
                         float(sigma), float(scaling),
                         self.ref_volume, self.ref_barycenter,
                         self._admm_kernel_cache, iter_cb=cb,
+                        newton_hist_out=newton_hist_out,
+                        full_stats_out=full_stats_out,
                     )
                     return dataclasses.replace(st, u=self._patch_u_to_global(st.u))
                 return admm.admm_inner_stepped(
@@ -693,6 +709,8 @@ class ObstacleShapeOpt:
                     float(sigma), float(scaling),
                     self.ref_volume, self.ref_barycenter,
                     self._admm_kernel_cache, iter_cb=iter_cb,
+                    newton_hist_out=newton_hist_out,
+                    full_stats_out=full_stats_out,
                 )
             return self._admm_full(
                 mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
@@ -765,8 +783,12 @@ class ObstacleShapeOpt:
             t0 = time.perf_counter()
             with prof.phase("adjoint"):
                 lam_adj, adj_res, adj_iters = self._adjoint(X, s)
+            if cfg.debug_nans:
+                debug.check_finite("adjoint", lam_adj=lam_adj)
             with prof.phase("jprime", sync=None):
                 Jp = self._jprime(X, s, lam_adj)
+            if cfg.debug_nans:
+                debug.check_finite("jprime", Jp=Jp)
             self._cur_s, self._cur_lam_adj = s, lam_adj
             self._cur_Jp = Jp  # exposed for -bDebugSensitivity output (2d:816)
             self._cur_X = X  # current (pre-update) mesh, for iterate output
@@ -777,6 +799,16 @@ class ObstacleShapeOpt:
                 attempts += 1
                 with prof.phase("assemble"):
                     mgdata = self._assemble(X)
+                if cfg.debug_nans:
+                    debug.check_finite(
+                        "assemble",
+                        **{
+                            f"mgdata_leaf{i}": leaf
+                            for i, leaf in enumerate(
+                                jax.tree_util.tree_leaves(mgdata)
+                            )
+                        },
+                    )
                 with prof.phase("admm", sync=None):
                     icb = (
                         None
@@ -787,11 +819,18 @@ class ObstacleShapeOpt:
                             )
                         )
                     )
+                    newton_hist: list | None = (
+                        [] if (cfg.newton_output and telemetry is not None) else None
+                    )
+                    full_stats: list = []
                     st = self._admm(
                         mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling),
-                        iter_cb=icb,
+                        iter_cb=icb, newton_hist_out=newton_hist,
+                        full_stats_out=full_stats,
                     )
                     jax.block_until_ready(st.u)
+                if cfg.debug_nans:
+                    debug.check_finite("admm", u=st.u, lam=st.lam)
                 if bool(st.failed):
                     # 2d:1269 halves sigma; 3d:1322 halves scaling instead
                     fc = cfg.admm_failure_control
@@ -814,6 +853,8 @@ class ObstacleShapeOpt:
                     continue
                 with prof.phase("ns_solve"):
                     s_new, nit, nnrm, nconv = self._ns_solve(X_new, s)
+                if cfg.debug_nans:
+                    debug.check_finite("ns_solve", s=s_new)
                 if not bool(nconv):
                     sigma *= 0.5
                     if verbose:
@@ -856,11 +897,21 @@ class ObstacleShapeOpt:
                     )
                 if telemetry is not None:
                     telemetry.log_step(dataclasses.asdict(rec))
-                    stats = np.asarray(st.stats)[: max(int(st.admm_it), 1)]
+                    # full per-iteration history when the stepped driver ran
+                    # (keeps pre-restart rows across fake-convergence
+                    # restarts, reference 2d:1221); the fixed-size
+                    # state array otherwise
+                    if full_stats:
+                        stats = np.asarray(full_stats)
+                    else:
+                        stats = np.asarray(st.stats)[: max(int(st.admm_it), 1)]
                     telemetry.write_admm_stats(
                         step,
                         {f"c{i}": stats[:, i].tolist() for i in range(stats.shape[1])},
                     )
+                    if newton_hist:
+                        telemetry.write_newton_stats(step, newton_hist)
+                        telemetry.write_newton_iterations(step, newton_hist)
                     steps = [r.step for r in history]
                     telemetry.write_drag(
                         steps,

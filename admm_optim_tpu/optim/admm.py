@@ -198,9 +198,19 @@ def newton_xupdate_ops(
     sols0: optional (1+m, ...) warm start for the st/t_i Krylov solves
     (e.g. the previous ADMM iteration's solutions).
 
-    Returns (u, Lambda, newton_iters, lin_iters, failed, sols)."""
+    Returns (u, Lambda, newton_iters, lin_iters, failed, sols, hist) where
+    hist is the per-Newton-iteration history (ns_max_its, 4 + 1 + m):
+    [norm_sum, |du|, |DLambda|, |Lu|, rhs_solve_iters, constraint_solve
+    iters...] - the rows behind the reference's __NewtonStats_step_N_ /
+    __NewtonIterations_step_N_ files (2d_admm.lua:1111-1120, 1256-1259).
+    norm_sum is written as 0.0 for exact column parity (the reference
+    stores a literal 0.0, 2d:1113).  The reference's sixth iteration
+    column (LargeSolver) has no counterpart here: the "large problem"
+    solve is eliminated algebraically (module docstring), so the writer
+    emits 0 for it."""
     free = ops_.free
     m = Lambda0.shape[0]
+    n_hist = 4 + 1 + m
 
     r_lin = scaling * Jp_base * free + ops_.tensor_rhs(lam - cfg.tau * q_proj)
 
@@ -230,14 +240,16 @@ def newton_xupdate_ops(
             return res.x, res.iters, res.converged
 
         xs, its, convs = jax.vmap(one)(rhs_batch, x0_batch)
-        return xs, jnp.sum(its).astype(jnp.int32), jnp.all(convs)
+        return xs, its.astype(jnp.int32), jnp.all(convs)
 
     def cond(state):
-        u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0, sols_prev = state
+        (u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0, sols_prev,
+         hist) = state
         return (~done) & (~failed) & (it < cfg.ns_max_its)
 
     def body(state):
-        u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0, sols_prev = state
+        (u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0, sols_prev,
+         hist) = state
         # under vmap the loop body runs for ALL lanes until every lane's
         # cond is false; freeze lanes that are already done/failed
         active = (~done) & (~failed)
@@ -253,7 +265,8 @@ def newton_xupdate_ops(
             Lu = Lu + extra_hvp(u * free) * free
 
         rhs = jnp.concatenate([Lu[None], B], axis=0)  # (1+m, ...)
-        sols, nlin, ok = solve_h(u, Lambda, rhs, sols_prev)
+        sols, its_each, ok = solve_h(u, Lambda, rhs, sols_prev)
+        nlin = jnp.sum(its_each).astype(jnp.int32)
         st, t = sols[0], sols[1:]  # st = H^-1 Lu ; t_i = H^-1 B_i
 
         S = jax.vmap(lambda bi: jax.vmap(lambda tj: ops_.dot(bi, tj))(t))(B)
@@ -295,11 +308,24 @@ def newton_xupdate_ops(
             )
         )
         failed = failed | (active & ~ok)
+        # per-iteration history row (reference 2d:1111-1120); stored only
+        # when the update was applied, like the reference (solver failure
+        # breaks out before the stats assignment)
+        du_norm = ops_.norm_p1(du * free)
+        row = jnp.concatenate(
+            [
+                jnp.stack([jnp.zeros_like(du_norm), du_norm, dlam_norm, lu_norm]),
+                its_each.astype(du_norm.dtype),
+            ]
+        )
+        slot = jnp.minimum(it, cfg.ns_max_its - 1)
+        hist = jnp.where(apply, hist.at[slot].set(row), hist)
         it = jnp.where(active, it + 1, it)
         lin = jnp.where(active, lin + nlin, lin)
         dlam_norm = jnp.where(apply, dlam_norm, dlam_prev)
         sols_out = jnp.where(apply, sols, sols_prev)
-        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0, sols_out)
+        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0,
+                sols_out, hist)
 
     init = (
         u0,
@@ -312,13 +338,14 @@ def newton_xupdate_ops(
         jnp.asarray(0.0, u0.dtype),
         jnp.asarray(0.0, u0.dtype),
         jnp.zeros((1 + m,) + u0.shape, u0.dtype) if sols0 is None else sols0,
+        jnp.zeros((cfg.ns_max_its, n_hist), u0.dtype),
     )
-    u, Lambda, it, lin, done, failed, _, _, _, sols = jax.lax.while_loop(
+    u, Lambda, it, lin, done, failed, _, _, _, sols, hist = jax.lax.while_loop(
         cond, body, init
     )
     # not converging within ns_max_its counts as failure (reference 2d:1084-1090)
     failed = failed | (~done)
-    return u, Lambda, it, lin, failed, sols
+    return u, Lambda, it, lin, failed, sols, hist
 
 
 def newton_xupdate(
@@ -408,7 +435,7 @@ def admm_inner_ops(
         # measured -18% Newton / -13% Krylov iterations vs a zero restart,
         # identical fixed point.  The st/t_i Krylov solutions also carry
         # (xsols) as warm starts for the next iteration's solves.
-        u, Lambda, nit, nlin, x_failed, xsols_new = newton_xupdate_ops(
+        u, Lambda, nit, nlin, x_failed, xsols_new, _ = newton_xupdate_ops(
             cfg, ops_, Jp_base, st.scaling, st.lam, q_hat,
             ref_volume, ref_barycenter,
             st.u, st.Lambda, extra_hvp=extra_hvp, sols0=xsols,
@@ -518,10 +545,22 @@ def admm_inner_stepped(
     kernel_cache: dict,
     verbose: bool = False,
     iter_cb=None,
+    newton_hist_out: list | None = None,
+    full_stats_out: list | None = None,
 ):
     """Host-stepped twin of admm_inner_ops: identical algorithm, but the
     ADMM while-loop runs on the host with ONE device execution per ADMM
     iteration (z-update + x-update Newton + dual ascent).
+
+    newton_hist_out: optional list filled (in place) with the LAST ADMM
+    iteration's per-Newton-iteration rows [norm_sum, |du|, |DLambda|, |Lu|,
+    rhs_iters, constraint_iters...] - the reference re-initializes its
+    vNS_* arrays at every ADMM iteration (2d:911-921) and writes them once
+    per optimization step (2d:1256-1259), so the files hold exactly the
+    last iteration's history.
+    full_stats_out: optional list filled with EVERY ADMM stats row, across
+    fake-convergence restarts (the fixed-size ADMMState.stats array only
+    keeps the trailing admm_steps rows).
 
     iter_cb(k, u): optional host callback fired after every ADMM iteration
     with the running iteration count k (monotone across fake-convergence
@@ -552,7 +591,7 @@ def admm_inner_stepped(
             else:
                 q_hat = q_proj
             max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
-            u2, Lambda, nit, nlin, x_failed, xsols2 = newton_xupdate_ops(
+            u2, Lambda, nit, nlin, x_failed, xsols2, nhist = newton_xupdate_ops(
                 cfg, ops_, Jp, scaling, lam, q_hat, ref_volume,
                 ref_barycenter, u, Lambda_in, sols0=xsols,
             )
@@ -560,7 +599,7 @@ def admm_inner_stepped(
             u_diff = ops_.norm_p1(u2 - u_old)
             lam_inc_n = ops_.norm_pc(lam_inc)
             return (u2, lam2, q_proj, Lambda, xsols2, nit, nlin, x_failed,
-                    max_norm, u_diff, lam_inc_n)
+                    max_norm, u_diff, lam_inc_n, nhist)
 
         kernel_cache[key] = jax.jit(body)
     body_fn = kernel_cache[key]
@@ -583,12 +622,14 @@ def admm_inner_stepped(
     u_diff = lam_inc_n = float("inf")
     max_norm = 0.0
 
+    last_nhist = None
     while not converged and not failed and admm_it < cfg.admm_steps:
         (u, lam, q_proj, Lambda, xsols, nit, nlin, x_failed, max_norm_j,
-         u_diff_j, lam_inc_j) = body_fn(
+         u_diff_j, lam_inc_j, nhist) = body_fn(
             builder_args, Jp_base, u, u_old, lam, Lambda, xsols,
             jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
         )
+        last_nhist = (nhist, int(nit))
         u_old = u
         if iter_cb is not None:
             iter_cb(len(stats_rows), u)
@@ -624,6 +665,13 @@ def admm_inner_stepped(
             admm_it += 1
         failed = x_failed or (admm_it >= cfg.admm_steps and not converged)
 
+    if newton_hist_out is not None and last_nhist is not None:
+        import numpy as _np
+
+        nh, nit_last = last_nhist
+        newton_hist_out[:] = _np.asarray(nh)[:nit_last].tolist()
+    if full_stats_out is not None:
+        full_stats_out[:] = [list(r) for r in stats_rows]
     stats = jnp.zeros((cfg.admm_steps, 6), dtype)
     if stats_rows:
         n = min(len(stats_rows), cfg.admm_steps)

@@ -34,11 +34,16 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-BUDGET_S = 540.0  # wall budget; emit the largest size that fits
+BUDGET_S = 540.0  # measured-work budget, clocked from warmup completion
+WARMUP_CAP_S = 1500.0  # max wait for the one-time tunnel fetch (measured
+# cold costs this round: 331-1016 s per process; the budget must not start
+# ticking against work the tunnel hasn't allowed yet)
 REPS = 5
 
 
 _best_result = {}  # filled by main; read by the watchdog
+_warmup_done = None  # threading.Event set when the first fetch lands
+_warmup_t = [None]  # perf_counter() at warmup completion
 
 
 def _emit(metric, value, vs_baseline):
@@ -51,16 +56,20 @@ def _emit(metric, value, vs_baseline):
     )
 
 
-def start_watchdog(deadline_s: float):
-    """Hard stop: if the (optional) larger sizes overrun, emit the best
-    completed result and exit - a blocked tunnel fetch cannot be interrupted
-    by signals, so the watchdog prints from its own thread."""
+def start_watchdog():
+    """Hard stop: emit the best completed result and exit if the larger
+    sizes overrun.  The deadline is WARMUP-RELATIVE: the one-time tunnel
+    initialization (331-1016 s measured) must not eat the measurement
+    budget, so the clock starts when the warmup fetch lands (with a cap in
+    case the tunnel never comes up).  A blocked tunnel fetch cannot be
+    interrupted by signals, so the watchdog prints from its own thread."""
     import os
     import threading
 
     def run():
-        time.sleep(deadline_s)
-        log(f"[watchdog] {deadline_s:.0f}s deadline hit; emitting best-so-far")
+        _warmup_done.wait(WARMUP_CAP_S)
+        time.sleep(BUDGET_S + 90.0)
+        log("[watchdog] deadline hit; emitting best-so-far")
         if _best_result:
             _emit(**_best_result)
         else:
@@ -83,7 +92,9 @@ def start_warmup_thread():
         t0 = time.perf_counter()
         y = jax.jit(lambda x: x + 1.0)(jnp.ones((8,), jnp.float32))
         float(y[0])
-        log(f"[warmup] first fetch done in {time.perf_counter() - t0:.1f}s")
+        _warmup_t[0] = time.perf_counter()
+        log(f"[warmup] first fetch done in {_warmup_t[0] - t0:.1f}s")
+        _warmup_done.set()
 
     th = threading.Thread(target=warm, daemon=True)
     th.start()
@@ -186,7 +197,14 @@ def run_size(num_refs):
     )
     data = assemble(coords, tabs)
     float(data.lmax[-1])  # fetch forces completion through the axon tunnel
-    log(f"refs={num_refs}: assembly (incl compile): {time.perf_counter() - t0:.2f}s; dofs={n_dofs}")
+    dt_asm = time.perf_counter() - t0
+    # first fetch may also absorb the tunnel warmup; label the compile-cache
+    # outcome so round-over-round artifacts show whether the persistent
+    # cache hit (VERDICT r1: the 494 s refs=3 assembly was a cold cache)
+    log(
+        f"refs={num_refs}: assembly (incl compile): {dt_asm:.2f}s; dofs={n_dofs}"
+        f" [compile cache {'HIT' if dt_asm < 60.0 else 'MISS-or-cold'}]"
+    )
     log(patch_mg.vcycle_cost_table(struct, data))
 
     rng = np.random.default_rng(0)
@@ -202,7 +220,7 @@ def run_size(num_refs):
         def body(i, carry):
             b, acc, _, _, _ = carry
             res = patch_mg.cg_ir_p(
-                struct, data, b, rel_tol=rel_tol, max_rounds=6,
+                struct, data, b, rel_tol=rel_tol, max_rounds=8,
                 inner_rel=1e-5, inner_iters=60,
             )
             x = res.x_hi + res.x_lo
@@ -234,39 +252,130 @@ def run_size(num_refs):
         f"refs={num_refs}: {dt * 1e3:.1f} ms/solve, {int(acc) // REPS} iters/solve, "
         f"{dof_per_s:.3e} DoF/s"
     )
-    return dof_per_s
+    ctx = dict(hier=hier, ps=ps, struct=struct, data=data, coords=coords)
+    return dof_per_s, ctx
+
+
+def admm_throughput(num_refs, ctx):
+    """Secondary metric (BASELINE.md "ADMM iters/sec"): wall-clock per full
+    ADMM inner iteration (z-prox + 2-Newton constrained x-update + dual
+    ascent) on the patch backend.  Logged as a JSON record on stderr so the
+    stdout contract (exactly one JSON line) holds."""
+    import jax
+    import jax.numpy as jnp
+
+    from admm_optim_tpu.ops import deformation as dfm
+    from admm_optim_tpu.ops import patchstencil as st
+    from admm_optim_tpu.ops.geometry import elem_geometry
+    from admm_optim_tpu.optim import admm
+    from admm_optim_tpu.optim.spaces import PatchOps
+
+    hier, ps, struct, data = ctx["hier"], ctx["ps"], ctx["struct"], ctx["data"]
+    coords = ctx["coords"]
+    fine = hier.fine
+    elems = jnp.asarray(fine.elems)
+    K = 5
+    cfg = admm.ADMMConfig(
+        admm_steps=K, admm_tolerance=0.0,  # run all K iterations
+        tau=1.0, ns_max_its=2, ns_tol=1e-4,
+        lin_max_iters=40, lin_abs_tol=1e-7, lin_rel_tol=1e-5,
+    )
+    coords_p = st.to_patch(ps.fine, jnp.asarray(coords).T)
+    ops_ = PatchOps(struct, data, coords_p)
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    Jp_g = jnp.asarray(
+        rng.normal(size=(hier.dim, fine.num_vertices)), coords.dtype
+    ) * jnp.asarray(~fine.vertex_mask(("inlet", "wall", "outlet")), coords.dtype)
+    Jp_p = st.to_patch(ps.fine, Jp_g) * 0.01
+    _, _, _, vol = elem_geometry(jnp.asarray(coords), elems)
+    ref_vol = jnp.sum(vol)
+    ref_bary = dfm.barycenter(jnp.asarray(coords), elems, jnp.zeros((hier.dim, fine.num_vertices), coords.dtype))
+
+    @jax.jit
+    def run(data, coords_p, Jp_p):
+        stt = admm.admm_inner_ops(
+            cfg, PatchOps(struct, data, coords_p), Jp_p,
+            jnp.asarray(0.3, coords.dtype), jnp.asarray(1.0, coords.dtype),
+            ref_vol, ref_bary,
+        )
+        return stt.admm_it, stt.total_newton, stt.total_lin_iters, jnp.sum(stt.u)
+
+    t0 = time.perf_counter()
+    it, nwt, lin, s = run(data, coords_p, Jp_p)
+    float(s)
+    log(f"admm warmup (incl compile): {time.perf_counter() - t0:.2f}s")
+    t0 = time.perf_counter()
+    it, nwt, lin, s = run(data, coords_p, Jp_p)
+    float(s)
+    dt = time.perf_counter() - t0
+    iters = max(int(it), 1)
+    rec = {
+        "metric": f"admm_iters_per_sec_refs{num_refs}_tpu",
+        "value": iters / dt,
+        "unit": "iter/s",
+        "newton_per_admm": int(nwt) / iters,
+        "krylov_per_admm": int(lin) / iters,
+    }
+    log("ADMM-THROUGHPUT " + json.dumps(rec))
+    return rec
 
 
 def main():
     import os
+    import threading
 
     import jax
+
+    global _warmup_done
+    _warmup_done = threading.Event()
 
     # persistent compilation cache: the driver re-runs this every round;
     # the 4-level assembly+solve graphs cost minutes of (remote) compile cold
     os.makedirs(os.path.expanduser("~/.cache/jax_admm"), exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_admm"))
+    cache_dir = os.path.expanduser("~/.cache/jax_admm")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"compile cache: {len(os.listdir(cache_dir))} entries at start")
 
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()}")
     if platform != "cpu":
         start_warmup_thread()
-        start_watchdog(BUDGET_S + 90.0)
+        start_watchdog()
+    else:
+        # CPU fallback runs in f64 (the DF iterative refinement stalls just
+        # above 1e-8 on tiny problems in pure f32; the TPU path is f32+DF)
+        jax.config.update("jax_enable_x64", True)
+        _warmup_t[0] = time.perf_counter()
+        _warmup_done.set()
 
     # fixed proxy baseline: the MG x-update solve measured on this repo's
     # first working TPU build (r1, 2026-08-16, block-ELL backend): 9.5e5
     # DoF/s at 3D refs=3.
     baseline = 9.5e5
     start = time.perf_counter()
-    sizes = [3, 4, 5] if platform != "cpu" else [1]
+
+    def elapsed():
+        # measured-work clock: starts when the warmup fetch lands (host-side
+        # mesh/compile work before that overlaps the tunnel wait)
+        t0 = _warmup_t[0] if _warmup_t[0] is not None else start
+        return time.perf_counter() - t0
+
+    # largest-viable-first (VERDICT r1: smallest-first burned the budget
+    # before the best number): refs=4 is the known-best headline, refs=5
+    # (24M DoF) attempted only with budget to spare, refs=3 as fallback
+    sizes = [4, 5, 3] if platform != "cpu" else [1]
     best = None
+    ctxs = {}
     for refs in sizes:
-        if best is not None and time.perf_counter() - start > BUDGET_S * 0.55:
-            log(f"skipping refs={refs}: out of budget")
-            break
+        if best is not None and elapsed() > BUDGET_S * 0.55:
+            log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
+            continue
         try:
-            dof_per_s = run_size(refs)
+            dof_per_s, ctx = run_size(refs)
+            ctxs[refs] = ctx
             if best is None or dof_per_s > best[1]:
                 best = (refs, dof_per_s)
                 _best_result.update(
@@ -276,13 +385,18 @@ def main():
                 )
         except Exception as e:  # noqa: BLE001 - emit whatever we have
             log(f"refs={refs} failed: {e!r}")
-            break
 
     if best is None:
         print(json.dumps({"metric": "bench_failed", "value": 0.0, "unit": "dof/s",
                           "vs_baseline": 0.0}))
         return
     refs, dof_per_s = best
+    # secondary metric (stderr record): ADMM inner-iteration throughput
+    if platform != "cpu" and refs in ctxs and elapsed() < BUDGET_S * 0.85:
+        try:
+            admm_throughput(refs, ctxs[refs])
+        except Exception as e:  # noqa: BLE001 - secondary must not sink main
+            log(f"admm throughput failed: {e!r}")
     _emit(
         f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
         dof_per_s,

@@ -23,6 +23,27 @@ def test_telemetry_files(tmp_path):
     assert len(hist) == 1
 
 
+def test_newton_telemetry_files(tmp_path):
+    # __NewtonStats/__NewtonIterations column layout (2d_admm.lua:1256-1259):
+    # rows carry [norm_sum, |du|, |DLambda|, |Lu|, rhs_its, vol_its, bx, by]
+    t = TelemetryWriter(str(tmp_path))
+    rows = [
+        [0.0, 1e-3, 2e-3, 5e-3, 7, 3, 2, 2],
+        [0.0, 1e-6, 2e-6, 5e-6, 5, 2, 2, 2],
+    ]
+    t.write_newton_stats(3, rows)
+    t.write_newton_iterations(3, rows)
+    t.close()
+    stats = (tmp_path / "__NewtonStats_step_3_.txt").read_text().strip().splitlines()
+    assert len(stats) == 2
+    # [step, norm_sum, du, dlam, lu]
+    assert stats[0].split("\t") == ["1", "0.0", "0.001", "0.002", "0.005"]
+    its = (tmp_path / "__NewtonIterations_step_3_.txt").read_text().strip().splitlines()
+    # [step, rhs, vol, bx, by, large(=0, solve eliminated algebraically)]
+    assert its[0].split("\t") == ["1", "7", "3", "2", "2", "0"]
+    assert its[1].split("\t") == ["2", "5", "2", "2", "2", "0"]
+
+
 def test_vtu_writer(tmp_path):
     lvl = geomgen.channel_2d()
     path = str(tmp_path / "mesh.vtu")
