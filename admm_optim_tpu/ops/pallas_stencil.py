@@ -267,6 +267,121 @@ def _apply_w_pallas_3d_sym(stencil, kept, nsl, W, x, interpret=False):
     return y
 
 
+def _kernel_pc(stencil, n2, kept_xidx, *refs):
+    """Pencil-contiguous full-stencil kernel: refs = (*x_refs, w_ref, y_ref)
+    with w_ref a SINGLE (1, 1, O, C, C, n2, P) block - the whole pencil's
+    stencil in one contiguous DMA (measured: the slot-major layout's 45
+    strided ~15 KB chunks per pencil held the apply at ~380 GB/s effective;
+    one ~2.3 MB contiguous block per program reaches near-peak HBM)."""
+    n_x = len(kept_xidx)
+    x_refs = refs[:n_x]
+    w_ref = refs[n_x]
+    y_ref = refs[n_x + 1]
+    xpos = {k: i for i, k in enumerate(kept_xidx)}
+    C = y_ref.shape[0]
+
+    acc = [None] * C
+    for oi, o in enumerate(stencil):
+        o0, o1, o2 = (int(v) for v in o)
+        xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
+        for d in range(C):
+            xs = xr[d, 0, 0, pl.ds(1 + o2, n2), :]  # (n2, P)
+            for c in range(C):
+                w = w_ref[0, 0, oi, c, d].astype(xs.dtype)
+                t = w * xs
+                acc[c] = t if acc[c] is None else acc[c] + t
+    for c in range(C):
+        y_ref[c, 0, 0] = acc[c]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _apply_w_pallas_3d_pc(stencil, W_pc, x, interpret=False):
+    """W_pc: (n0, n1, O, C, C, n2, P) pencil-major full stencil (see
+    to_pencil_major).  W_pc may be bf16 with f32 x: weights are upcast in
+    registers, halving the dominant HBM stream - used for the V-cycle
+    smoother applies where bf16 weight rounding only perturbs the
+    preconditioner."""
+    n0, n1, O, C, _, n2, P = W_pc.shape
+    xp = jnp.pad(x, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    kept = sorted({(int(o[0]) + 1, int(o[1]) + 1) for o in stencil})
+    x_specs = [
+        pl.BlockSpec(
+            (C, 1, 1, n2 + 2, P),
+            functools.partial(lambda di, dj, i, j: (0, i + di, j + dj, 0, 0), di, dj),
+        )
+        for (di, dj) in kept
+    ]
+    w_spec = pl.BlockSpec((1, 1, O, C, C, n2, P), lambda i, j: (i, j, 0, 0, 0, 0, 0))
+    y_spec = pl.BlockSpec((C, 1, 1, n2, P), lambda i, j: (0, i, j, 0, 0))
+    kern = functools.partial(_kernel_pc, stencil, n2, tuple(kept))
+    return pl.pallas_call(
+        kern,
+        grid=(n0, n1),
+        in_specs=[*x_specs, w_spec],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((C, n0, n1, n2, P), x.dtype),
+        interpret=interpret,
+    )(*([xp] * len(kept)), W_pc)
+
+
+def to_pencil_major(ps, W, dtype=None):
+    """(O|H, C, C, n0, n1, n2, P) slot-major (full or symmetric-half) ->
+    (n0, n1, O, C, C, n2, P) pencil-major full stencil, expanding sym
+    storage on the fly, one output slot at a time (the transient is a
+    single slot block ~W_sym/8, vs ~3 full-W copies for a monolithic
+    expand+transpose - ROADMAP: the expand alone OOMed at 3D refs=5).
+
+    Sym expansion identity: W[mu, c, d, s] = W[-mu, d, c, s + mu]
+    (operator symmetry), realized as a global roll by -mu; the wrapped
+    entries land exactly where x is read outside the lattice, which the
+    apply's zero halo annihilates (same argument as _kernel_sym's edge
+    clamping)."""
+    O_full = len(ps.stencil)
+    sym = W.shape[0] != O_full
+    dtype = dtype or W.dtype
+    stencil = [tuple(int(v) for v in o) for o in ps.stencil]
+    if sym:
+        from .patchstencil import half_slots
+
+        half = list(half_slots(ps))
+        pos = {h: i for i, h in enumerate(half)}
+        neg = {oi: stencil.index(tuple(-v for v in o)) for oi, o in enumerate(stencil)}
+    _, C, _, n0, n1, n2, P = W.shape
+    out = jnp.zeros((n0, n1, O_full, C, C, n2, P), dtype)
+    for oi, o in enumerate(stencil):
+        if not sym:
+            blk = W[oi]
+        elif oi in pos:
+            blk = W[pos[oi]]
+        else:
+            pair = W[pos[neg[oi]]]  # (C, C, n0, n1, n2, P)
+            pt = jnp.swapaxes(pair, 0, 1)
+            blk = jnp.roll(pt, shift=tuple(-int(v) for v in o), axis=(2, 3, 4))
+        out = out.at[:, :, oi].set(
+            jnp.transpose(blk, (2, 3, 0, 1, 4, 5)).astype(dtype)
+        )
+    return out
+
+
+def usable_pc(ps, W_pc, x) -> bool:
+    if not ENABLED or ps.dim != 3:
+        return False
+    if W_pc.ndim != 7 or W_pc.shape[2] != len(ps.stencil):
+        return False
+    if x.shape[1] < 16:
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def apply_w_pc(ps, W_pc, x):
+    stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+    # interpret mode keeps the pc layout usable off-TPU (tests); production
+    # pc storage is only built on the TPU backend (patch_mg.assemble)
+    return _apply_w_pallas_3d_pc(
+        stencil, W_pc, x, interpret=jax.default_backend() != "tpu"
+    )
+
+
 def _eft_two_sum(a, b):
     """Knuth two-sum inside the kernel.  Mosaic lowers these through MLIR
     arith ops with no algebraic simplification and no licensed FMA

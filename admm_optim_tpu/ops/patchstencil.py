@@ -304,6 +304,14 @@ def apply_w(ps: PatchSet, W, x):
     streams each slot block once."""
     from . import pallas_stencil
 
+    if (
+        W.ndim == x.ndim + 2
+        and W.shape[2] == len(ps.stencil)
+        and W.shape[3] == W.shape[4]
+    ):
+        # pencil-major (n0, n1, O, C, C, n2, P) layout (TPU-only storage
+        # for the bf16 smoother stream; see pallas_stencil.to_pencil_major)
+        return pallas_stencil.apply_w_pc(ps, W, x)
     if pallas_stencil.usable(ps, W, x):
         return pallas_stencil.apply_w_pallas(ps, W, x)
     if W.shape[0] != len(ps.stencil):

@@ -106,15 +106,17 @@ def estimate_lmax(pat: Pattern, vals, diag, iters: int = 15) -> jnp.ndarray:
     return jnp.vdot(x, y) / jnp.vdot(x, x) * 1.1  # 10% safety margin
 
 
-def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: float):
+def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: float,
+                     x_is_zero: bool = False):
     """Chebyshev(degree) iteration for A x = b preconditioned by diag,
-    targeting the interval [lower*lmax, lmax]."""
+    targeting the interval [lower*lmax, lmax].  x_is_zero (static): skip the
+    first SpMV exactly (A.0 = 0), as in patch_mg.chebyshev_smooth_p."""
     lmin = lower * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     inv_d = 1.0 / jnp.maximum(diag, 1e-30)
 
-    r = b - sparsity.spmv_flat(pat, vals, x)
+    r = b if x_is_zero else b - sparsity.spmv_flat(pat, vals, x)
     z = inv_d * r
     d_vec = z / theta
     x = x + d_vec
@@ -138,7 +140,8 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
     return x
 
 
-def jacobi_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, omega: float = 0.7):
+def jacobi_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, omega: float = 0.7,
+                  x_is_zero: bool = False):
     """Damped Jacobi, safe for the nonsymmetric convection-diffusion
     operators (Chebyshev assumes a real spectrum).  The damping is scaled by
     the power-iteration bound on D^-1 A."""
@@ -148,6 +151,9 @@ def jacobi_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, omega: floa
         r = b - sparsity.spmv_flat(pat, vals, x)
         return x + inv_d * r
 
+    if x_is_zero and degree >= 1:
+        x = x + inv_d * b
+        return jax.lax.fori_loop(0, degree - 1, body, x)
     return jax.lax.fori_loop(0, degree, body, x)
 
 
@@ -179,32 +185,35 @@ def vcycle(struct: MGStructure, data: MGData, b: jnp.ndarray, x0=None) -> jnp.nd
     C = struct.patterns[0].block
 
     if struct.smoother == "jacobi":
-        smooth = lambda pat, v, d, lm, x, b, deg: jacobi_smooth(pat, v, d, lm, x, b, deg)
+        smooth = lambda pat, v, d, lm, x, b, deg, xz=False: jacobi_smooth(
+            pat, v, d, lm, x, b, deg, x_is_zero=xz)
     else:
-        smooth = lambda pat, v, d, lm, x, b, deg: chebyshev_smooth(
-            pat, v, d, lm, x, b, deg, struct.cheb_lower
+        smooth = lambda pat, v, d, lm, x, b, deg, xz=False: chebyshev_smooth(
+            pat, v, d, lm, x, b, deg, struct.cheb_lower, x_is_zero=xz
         )
 
-    def solve_level(l, b_l, x_l):
+    def solve_level(l, b_l, x_l, x_zero=False):
         pat = struct.patterns[l]
         if l == 0:
             return data.base_inv @ b_l
         x_l = smooth(
-            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l, struct.pre_smooth
+            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
+            struct.pre_smooth, x_zero
         )
         r = (b_l - sparsity.spmv_flat(pat, data.vals[l], x_l)) * data.free[l]
         rc = restrict(data.parents[l - 1], r, struct.patterns[l - 1].n_rows, C)
         rc = rc * data.free[l - 1]
-        ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
+        ec = solve_level(l - 1, rc, jnp.zeros_like(rc), x_zero=True)
         x_l = x_l + prolong(data.parents[l - 1], ec, C) * data.free[l]
         x_l = smooth(
             pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l, struct.post_smooth
         )
         return x_l
 
+    x_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    return solve_level(L, b, x0)
+    return solve_level(L, b, x0, x_zero=x_zero)
 
 
 def make_preconditioner(struct: MGStructure, data: MGData) -> Callable:

@@ -48,6 +48,13 @@ class PatchMGStructure:
     # per-sweep halo collectives on the latency-bound coarse levels.
     # 0 = only the level-0 dense base solve is gathered (always the case).
     replicate_below: int = 0
+    # smoother-stream W precision: "auto" stores an ADDITIONAL bf16
+    # pencil-major copy of each 3D level's stencil on TPU and smooths with
+    # it (the V-cycle is a preconditioner, so bf16 weight rounding only
+    # perturbs M; A-applies and DF residuals keep the f32 sym W).  Measured
+    # refs=4 v5e: smoother apply 1.84 -> 1.22 ms at the ~400 GB/s
+    # machine-achievable HBM ceiling.  "f32" disables.
+    smoother_w: str = "auto"  # "auto" | "f32"
 
 
 @jax.tree_util.register_pytree_node_class
@@ -60,13 +67,25 @@ class PatchMGData:
     lmax: list  # per level scalar
     base_inv: Any  # dense inverse of the level-0 global operator (C*V0 sq)
     tabs: list  # per level: st.LevelTables
+    # optional per-level smoother-stream stencils (bf16 pencil-major on
+    # TPU; None entries fall back to W) - see PatchMGStructure.smoother_w
+    W_sm: list | None = None
 
     def tree_flatten(self):
-        return ((self.W, self.inv_diag, self.lmax, self.base_inv, self.tabs), None)
+        return (
+            (self.W, self.inv_diag, self.lmax, self.base_inv, self.tabs,
+             self.W_sm),
+            None,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+    def smoother_W(self, l):
+        if self.W_sm is None or self.W_sm[l] is None:
+            return self.W[l]
+        return self.W_sm[l]
 
 
 def _apply(ps, tab, W, x, spmd=None):
@@ -266,7 +285,27 @@ def assemble_patch_mg_p(
     else:
         coords0 = st.from_patch_tab(tabs[0], cp0, V0, spmd=spmd)  # (d, V0)
     base_inv = base_dense_fn(coords0.T)
-    return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs)
+    # bf16 pencil-major smoother copies for the traffic-dominant levels
+    # (struct.smoother_w docstring; lat >= 9 is where W streaming dominates
+    # over kernel-launch overhead)
+    W_sm = None
+    if (
+        struct.smoother_w == "auto"
+        and ps.dim == 3
+        and jax.default_backend() == "tpu"
+        and coords_p.dtype == jnp.float32
+    ):
+        from ..ops import pallas_stencil as pst
+
+        W_sm = [
+            pst.to_pencil_major(ps, W, jnp.bfloat16)
+            if min(W.shape[3:6]) >= 9
+            else None
+            for W in W_l
+        ]
+        if all(w is None for w in W_sm):
+            W_sm = None
+    return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs, W_sm)
 
 
 def assemble_patch_mg(
@@ -289,15 +328,21 @@ def assemble_patch_mg(
     )
 
 
-def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=None):
+def chebyshev_smooth_p(
+    ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=None,
+    x_is_zero: bool = False,
+):
     """Chebyshev iteration (see solvers.mg.chebyshev_smooth) on patch arrays;
-    x, b consistent."""
+    x, b consistent.  x_is_zero (static): skip the first stencil apply
+    (A.0 = 0, so r = b exactly) - the V-cycle always enters pre-smoothing
+    with a zero iterate, making this one free fine-level apply per cycle
+    (~10% of cycle wall, measured refs=4)."""
     lmin = lower * lmax
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)
     free = tab.free[None].astype(x.dtype)
 
-    r = (b - _apply(ps, tab, W, x, spmd)) * free
+    r = b * free if x_is_zero else (b - _apply(ps, tab, W, x, spmd)) * free
     z = inv_diag * r
     d_vec = z / theta
     x = x + d_vec
@@ -321,9 +366,13 @@ def chebyshev_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, lower, spmd=Non
     return x
 
 
-def jacobi_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, omega=0.7, spmd=None):
+def jacobi_smooth_p(
+    ps, tab, W, inv_diag, lmax, x, b, degree, omega=0.7, spmd=None,
+    x_is_zero: bool = False,
+):
     """Damped Jacobi on patch arrays (see solvers.mg.jacobi_smooth): safe for
-    nonsymmetric operators; damping scaled by the power-iteration bound."""
+    nonsymmetric operators; damping scaled by the power-iteration bound.
+    x_is_zero: as in chebyshev_smooth_p (first apply skipped exactly)."""
     free = tab.free[None].astype(x.dtype)
     scale = omega / jnp.maximum(lmax, 1e-30)
 
@@ -331,6 +380,9 @@ def jacobi_smooth_p(ps, tab, W, inv_diag, lmax, x, b, degree, omega=0.7, spmd=No
         r = (b - _apply(ps, tab, W, x, spmd)) * free
         return x + scale * (inv_diag * r)
 
+    if x_is_zero and degree >= 1:
+        x = x + scale * (inv_diag * (b * free))
+        return jax.lax.fori_loop(0, degree - 1, body, x)
     return jax.lax.fori_loop(0, degree, body, x)
 
 
@@ -349,15 +401,17 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
     RB = struct.replicate_below if spmd is not None else 0
 
     if struct.smoother == "jacobi":
-        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp: jacobi_smooth_p(
-            ps_, tab, W, invd, lm, x, b, deg, spmd=sp
+        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp, xz=False: (
+            jacobi_smooth_p(ps_, tab, W, invd, lm, x, b, deg, spmd=sp,
+                            x_is_zero=xz)
         )
     else:
-        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp: chebyshev_smooth_p(
-            ps_, tab, W, invd, lm, x, b, deg, struct.cheb_lower, sp
+        smooth = lambda ps_, tab, W, invd, lm, x, b, deg, sp, xz=False: (
+            chebyshev_smooth_p(ps_, tab, W, invd, lm, x, b, deg,
+                               struct.cheb_lower, sp, x_is_zero=xz)
         )
 
-    def solve_level(l, b_l, x_l):
+    def solve_level(l, b_l, x_l, x_zero=False):
         # b_l, x_l are FULL patch arrays when l < RB, local shards otherwise
         lvl_spmd = spmd if l >= RB else None
         lvl = ps.levels[l]
@@ -373,15 +427,15 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
             xg = (data.base_inv @ bg.reshape(-1)).reshape(C, V0)
             return st.to_patch_tab(tab, xg)
         x_l = smooth(
-            ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
-            x_l, b_l, struct.pre_smooth, lvl_spmd,
+            ps, tab, data.smoother_W(l), data.inv_diag[l], data.lmax[l],
+            x_l, b_l, struct.pre_smooth, lvl_spmd, x_zero,
         )
         # restriction acts on the ADDITIVE residual (UG4 storage-type rule:
         # defects are additive, 2d_admm.lua:958): owner-weighted b minus the
         # raw per-patch partial sums - restricting a consistent vector would
         # double-count duplicated sites
         owner = tab.owner.astype(b_l.dtype)
-        r_add = b_l * owner[None] - st.apply_w(ps, data.W[l], x_l)
+        r_add = b_l * owner[None] - st.apply_w(ps, data.smoother_W(l), x_l)
         rc = st.restrict_p(ps, l - 1, r_add)
         tab_c = data.tabs[l - 1]
         agglom_edge = spmd is not None and l >= RB and (l - 1) < RB
@@ -392,21 +446,22 @@ def vcycle_p(struct: PatchMGStructure, data: PatchMGData, b, x0=None):
         rc = st.exchange_sum(None, rc, tab_c, spmd=rc_spmd) * tab_c.free[
             None
         ].astype(rc.dtype)
-        ec = solve_level(l - 1, rc, jnp.zeros_like(rc))
+        ec = solve_level(l - 1, rc, jnp.zeros_like(rc), x_zero=True)
         if agglom_edge:
             Pl = x_l.shape[-1]
             off = st._shard_offset(tab, Pl, spmd)
             ec = jax.lax.dynamic_slice_in_dim(ec, off, Pl, axis=ec.ndim - 1)
         x_l = x_l + st.prolong_p(ps, l - 1, ec) * tab.free[None].astype(x_l.dtype)
         x_l = smooth(
-            ps, tab, data.W[l], data.inv_diag[l], data.lmax[l],
+            ps, tab, data.smoother_W(l), data.inv_diag[l], data.lmax[l],
             x_l, b_l, struct.post_smooth, lvl_spmd,
         )
         return x_l
 
+    x_zero = x0 is None
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    return solve_level(L, b, x0)
+    return solve_level(L, b, x0, x_zero=x_zero)
 
 
 def make_preconditioner_p(struct: PatchMGStructure, data: PatchMGData):

@@ -181,7 +181,12 @@ def run_size(num_refs):
         v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
         return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
 
-    struct = patch_mg.PatchMGStructure(ps)
+    # V(2,2)/cheb_lower=0.2 with the bf16 smoother stream: measured best
+    # at refs=4 (219 ms vs 264 for V(3,3)@0.25 - more CG iterations, each
+    # ~30% cheaper; sweep record in docs/ROADMAP.md 5c)
+    struct = patch_mg.PatchMGStructure(
+        ps, pre_smooth=2, post_smooth=2, cheb_lower=0.2
+    )
     # device tables passed as jit ARGUMENTS (not baked constants) so the
     # persistent compile cache stays effective
     tabs = patch_mg.make_level_tables(ps, coords.dtype)
@@ -221,7 +226,7 @@ def run_size(num_refs):
             b, acc, _, _, _ = carry
             res = patch_mg.cg_ir_p(
                 struct, data, b, rel_tol=rel_tol, max_rounds=8,
-                inner_rel=1e-5, inner_iters=60,
+                inner_rel=1e-5, inner_iters=80,
             )
             x = res.x_hi + res.x_lo
             scale = 1.0 / (1.0 + jnp.sqrt(st.owner_dot(ps.fine, x, x)))
@@ -264,9 +269,7 @@ def admm_throughput(num_refs, ctx):
     import jax
     import jax.numpy as jnp
 
-    from admm_optim_tpu.ops import deformation as dfm
     from admm_optim_tpu.ops import patchstencil as st
-    from admm_optim_tpu.ops.geometry import elem_geometry
     from admm_optim_tpu.optim import admm
     from admm_optim_tpu.optim.spaces import PatchOps
 
@@ -289,9 +292,18 @@ def admm_throughput(num_refs, ctx):
         rng.normal(size=(hier.dim, fine.num_vertices)), coords.dtype
     ) * jnp.asarray(~fine.vertex_mask(("inlet", "wall", "outlet")), coords.dtype)
     Jp_p = st.to_patch(ps.fine, Jp_g) * 0.01
-    _, _, _, vol = elem_geometry(jnp.asarray(coords), elems)
-    ref_vol = jnp.sum(vol)
-    ref_bary = dfm.barycenter(jnp.asarray(coords), elems, jnp.zeros((hier.dim, fine.num_vertices), coords.dtype))
+    # reference constraint targets in numpy: an unjitted op-by-op einsum at
+    # E=5.5M materializes (d, d, E) with a (4,128)-tiled layout on the two
+    # size-d axes = 10.5 GB of padding (measured OOM at refs=4)
+    Xn = np.asarray(coords, np.float64)
+    En = np.asarray(fine.elems)
+    T = Xn[En[:, 1:]] - Xn[En[:, :1]]  # (E, d, d) edge matrices
+    import math
+
+    voln = np.abs(np.linalg.det(T)) / math.factorial(hier.dim)
+    ref_vol = jnp.asarray(voln.sum(), coords.dtype)
+    cent = Xn[En].mean(axis=1)  # (E, d)
+    ref_bary = jnp.asarray((voln[:, None] * cent).sum(0), coords.dtype)
 
     @jax.jit
     def run(data, coords_p, Jp_p):

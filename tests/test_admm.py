@@ -105,6 +105,7 @@ def test_admm_spectral_norm(setup):
     assert mx <= 0.3 * (1 + cfg.admm_gradient_tolerance) + 1e-12
 
 
+@pytest.mark.slow
 def test_xupdate_relative_tolerance(setup):
     """The relative Lu/Llambda branch (2d:1165, -nsRelLuTol/-nsRelLlambdaTol):
     with increment/absolute tests disabled, a loose relative tolerance must
@@ -141,6 +142,7 @@ def test_xupdate_relative_tolerance(setup):
     assert bool(failed2) and int(it2) == cfg.ns_max_its
 
 
+@pytest.mark.slow
 def test_lambda_init_warm_start(setup):
     """-lambda_vol/-lambda_x/-lambda_y: the multiplier warm start must not
     change the converged KKT point, and a wrong length must raise."""
@@ -168,6 +170,7 @@ def test_lambda_init_warm_start(setup):
         )
 
 
+@pytest.mark.slow
 def test_admm_over_relaxation(setup):
     """relax_alpha (beyond the reference): accelerated convergence to the
     SAME constrained fixed point - constraints hold, gradient bound holds,
@@ -194,6 +197,7 @@ def test_admm_over_relaxation(setup):
     assert du < 0.05
 
 
+@pytest.mark.slow
 def test_stepped_driver_matches_monolithic_and_reports_iterates(setup):
     """admm_inner_stepped (host-stepped twin) reaches the same fixed point
     as the jitted while-loop and fires iter_cb with every ADMM iterate's u

@@ -6,6 +6,7 @@ one full optimization step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from admm_optim_tpu.core import geomgen
 from admm_optim_tpu.core.mesh import Hierarchy, refine
@@ -13,6 +14,8 @@ from admm_optim_tpu.models.obstacle import ObstacleShapeOpt, ProblemConfig
 from admm_optim_tpu.ops import navier_stokes as nsops
 from admm_optim_tpu.optim import admm
 from admm_optim_tpu.solvers import ns_solver
+
+pytestmark = pytest.mark.slow
 
 
 def _flow(prob):

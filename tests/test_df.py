@@ -106,6 +106,7 @@ def test_apply_w_df_accuracy(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+@pytest.mark.slow
 def test_cg_ir_reaches_1em8(dim, refs):
     """cg_ir_p drives the TRUE (f64-evaluated) relative residual of the f32
     system below 1e-8, where the plain f32 CG stalls around 1e-6..1e-7."""

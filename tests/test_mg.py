@@ -40,6 +40,7 @@ def test_vcycle_reduces_residual(setup2d):
     assert rate < 0.2, f"single V-cycle contraction too weak: {rate}"
 
 
+@pytest.mark.slow
 def test_mg_cg_matches_dense(setup2d):
     hier, space, struct, data = setup2d
     rng = np.random.default_rng(1)
@@ -58,6 +59,7 @@ def test_mg_cg_matches_dense(setup2d):
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_mg_iterations_mesh_independent():
     """Iteration counts must not blow up with refinement depth."""
     its = []

@@ -162,6 +162,7 @@ def test_pcd_preconditioner(setup):
     assert np.isfinite(float(d)) and float(d) > 0
 
 
+@pytest.mark.slow
 def test_patch_convdiff_precond_matches_ell():
     """The patch-backend (brick-stencil) convection-diffusion operator of the
     NS velocity preconditioner equals the block-ELL assembly, and the model's

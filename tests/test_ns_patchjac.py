@@ -42,6 +42,7 @@ def _random_state(space, rng, scale=0.3):
 
 
 @pytest.mark.parametrize("dim,num_refs", [(2, 1), (2, 2), (3, 1)])
+@pytest.mark.slow
 def test_assembled_jacobian_matches_jvp(dim, num_refs):
     hier, space, ps, pre_ps, tab_f, tab_c, coords = _setup(dim, num_refs)
     visc = 0.05
@@ -138,6 +139,7 @@ def test_pcd_patch_fp_matches_ell(dim):
     assert err < 1e-12, f"Fp mismatch: {err}"
 
 
+@pytest.mark.slow
 def test_newton_with_assembled_jacobian_matches():
     """End to end: the stepped Newton solve with the assembled-Jacobian
     matvec converges to the same flow as the matrix-free path."""

@@ -88,6 +88,7 @@ def _setup(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+@pytest.mark.slow
 def test_patchdeform_ops_match_global(dim, refs):
     hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
     fine = hier.fine
@@ -131,6 +132,7 @@ def test_patchdeform_ops_match_global(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+@pytest.mark.slow
 def test_admm_inner_patch_matches_global(dim, refs):
     hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
     fine = hier.fine

@@ -116,6 +116,7 @@ def test_halo_ppermute_matches_allgather(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+@pytest.mark.slow
 def test_sharded_mg_solve_matches(dim, refs):
     hier = _hier(dim, refs)
     ps_raw = build_patchset(hier)
@@ -188,6 +189,7 @@ def test_sharded_mg_solve_matches(dim, refs):
     assert rn / bn < 1e-9
 
 
+@pytest.mark.slow
 def test_sharded_admm_matches_single_device():
     """The FULL ADMM inner loop (z-prox + constrained Newton + dual ascent)
     under shard_map == the single-device patch path, iterate for iterate."""
@@ -278,6 +280,7 @@ def test_sharded_admm_matches_single_device():
 
 
 @pytest.mark.parametrize("dim,refs,rb", [(2, 2, 1), (3, 2, 2)])
+@pytest.mark.slow
 def test_agglomerated_coarse_levels_match(dim, refs, rb):
     """replicate_below: the agglomerated V-cycle (coarse levels replicated
     on every device; one all-gather at the transition) must produce the

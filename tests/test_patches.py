@@ -135,6 +135,7 @@ def test_patch_transfers_match_parents(dim, refs):
 
 
 @pytest.mark.parametrize("dim,refs", [(2, 3), (3, 2)])
+@pytest.mark.slow
 def test_patch_mg_solves(dim, refs):
     """MG-preconditioned CG on the patch backend converges to the same
     solution as the ELL backend, in a comparable iteration count."""

@@ -54,6 +54,7 @@ def test_refine_3d_reference_grid(grid3d_path):
     assert f.num_vertices == c.num_vertices + len(c.edges)
 
 
+@pytest.mark.slow
 def test_2d_reference_grid_short_trajectory(grid2d_path):
     """Two optimization steps of the full pipeline on refined.ugx: drag must
     strictly decrease over accepted steps (the reference's own success

@@ -29,6 +29,7 @@ def _jp(prob):
     return (Jp * obs[:, None] * 0.15).T
 
 
+@pytest.mark.slow
 def test_sigma_sweep(prob):
     Jp = _jp(prob)
     sigmas = jnp.asarray([0.15, 0.25, 0.35, 0.45])
@@ -48,6 +49,7 @@ def test_sigma_sweep(prob):
     assert n3 > n0
 
 
+@pytest.mark.slow
 def test_geometry_sweep(prob):
     Jp = _jp(prob)
     rng = np.random.default_rng(0)
