@@ -152,7 +152,18 @@ class ShardedPatchMG:
         ]
         lmax = [P() for _ in self.ps.levels]
         tabs = [self.table_specs(l) for l in range(len(self.ps.levels))]
-        return pmg.PatchMGData(W, invd, lmax, P(), tabs)
+        # bf16 pencil-major smoother stencils (TPU only): (n0,n1,O,C,C,n2,P)
+        # sharded on the trailing patch axis like W
+        plan = pmg.smoother_w_plan(self.struct, self.ps, jnp.float32)
+        W_sm = None
+        if plan is not None:
+            W_sm = [
+                (P() if l < RB else P(*([None] * (3 + dim) + [self.axis])))
+                if on
+                else None
+                for l, on in enumerate(plan)
+            ]
+        return pmg.PatchMGData(W, invd, lmax, P(), tabs, W_sm)
 
     # ---- placement ----------------------------------------------------------
 

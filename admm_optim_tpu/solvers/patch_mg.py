@@ -286,26 +286,33 @@ def assemble_patch_mg_p(
         coords0 = st.from_patch_tab(tabs[0], cp0, V0, spmd=spmd)  # (d, V0)
     base_inv = base_dense_fn(coords0.T)
     # bf16 pencil-major smoother copies for the traffic-dominant levels
-    # (struct.smoother_w docstring; lat >= 9 is where W streaming dominates
-    # over kernel-launch overhead)
+    # (struct.smoother_w docstring)
+    plan = smoother_w_plan(struct, ps, coords_p.dtype)
     W_sm = None
-    if (
-        struct.smoother_w == "auto"
-        and ps.dim == 3
-        and jax.default_backend() == "tpu"
-        and coords_p.dtype == jnp.float32
-    ):
+    if plan is not None:
         from ..ops import pallas_stencil as pst
 
         W_sm = [
-            pst.to_pencil_major(ps, W, jnp.bfloat16)
-            if min(W.shape[3:6]) >= 9
-            else None
-            for W in W_l
+            pst.to_pencil_major(ps, W, jnp.bfloat16) if on else None
+            for on, W in zip(plan, W_l)
         ]
-        if all(w is None for w in W_sm):
-            W_sm = None
     return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs, W_sm)
+
+
+def smoother_w_plan(struct: PatchMGStructure, ps: PatchSet, dtype):
+    """Which levels carry a bf16 pencil-major smoother stencil (None =
+    feature off).  Shared by assembly and parallel.patch_shard.data_specs
+    so the sharded pytree specs match the assembled data structure.
+    lat >= 9 is where W streaming dominates over kernel-launch overhead."""
+    if not (
+        struct.smoother_w == "auto"
+        and ps.dim == 3
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+    ):
+        return None
+    plan = [min(lvl.lat_shape) >= 9 for lvl in ps.levels]
+    return plan if any(plan) else None
 
 
 def assemble_patch_mg(

