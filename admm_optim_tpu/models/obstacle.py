@@ -116,6 +116,9 @@ def f32_presets(cfg: "ProblemConfig") -> "ProblemConfig":
             ns_abs_llambda_tol=max(cfg.admm.ns_abs_llambda_tol, 1e-5),
             lin_abs_tol=max(cfg.admm.lin_abs_tol, 1e-7),
             lin_rel_tol=max(cfg.admm.lin_rel_tol, 1e-7),
+            # f32 BiCGStab floor grows with mesh size; accept stagnated
+            # solves at <= 1e-4 relative (ADMMConfig.lin_accept_rel)
+            lin_accept_rel=max(cfg.admm.lin_accept_rel, 1e-4),
         ),
         ns=_dc.replace(
             cfg.ns, accept_tol=max(cfg.ns.accept_tol, 1e-4),

@@ -22,6 +22,15 @@ program, slots processed in chunks (innermost axis) so the W block stays
 well under VMEM; the output block's index map ignores the slot axis, so
 Pallas keeps it resident in VMEM across the reduction and writes it back
 once (standard revisited-output reduction pattern).
+
+Dispatch contract (ops.patchstencil.apply_w): kernels here cover the 3D
+lattices only - slot-major full/sym (`usable`), pencil-contiguous
+(`usable_pc`), and the DF sym variant (`usable_df`).  **2D lattices always
+take the XLA apply path**: at 2D sizes (the largest 2D level in the tree
+is ~66k sites at refs=5 on refined.ugx) the stencil is 9-slot/2-channel
+and the XLA form's full-lattice windows fit comfortably in cache-resident
+fusions, so the measured kernel win (which comes from streaming multi-GB
+3D W exactly once) has no 2D counterpart worth the Mosaic surface.
 """
 from __future__ import annotations
 

@@ -71,6 +71,14 @@ class ADMMConfig:
     lin_max_iters: int = 200
     lin_abs_tol: float = 1e-12
     lin_rel_tol: float = 1e-10
+    # stagnation acceptance for the x-update Krylov solves (f32 path): a
+    # solve that misses lin_abs/rel_tol but reaches a relative residual
+    # <= lin_accept_rel is still OK - in f32 the achievable BiCGStab floor
+    # grows with mesh size (measured refined.ugx refs=3: stalls at ~1.4e-5
+    # rel vs the 1e-7 preset, reporting failure and burning every
+    # sigma-halving retry).  0 = strict (f64 semantics, the reference's
+    # ConvCheck).  The NS solver's accept_tol plays the same role there.
+    lin_accept_rel: float = 0.0
     c_eps: float = 1.0  # extension operator eps(u):eps(w) weight
     c_mass: float = 1.0  # extension operator u.w weight
 
@@ -237,7 +245,11 @@ def newton_xupdate_ops(
                 rel_tol=cfg.lin_rel_tol,
                 dot=ops_.dot,
             )
-            return res.x, res.iters, res.converged
+            ok = res.converged
+            if cfg.lin_accept_rel > 0.0:
+                bn = jnp.sqrt(ops_.dot(b, b))
+                ok = ok | (res.res_norm <= cfg.lin_accept_rel * bn)
+            return res.x, res.iters, ok
 
         xs, its, convs = jax.vmap(one)(rhs_batch, x0_batch)
         return xs, its.astype(jnp.int32), jnp.all(convs)

@@ -30,6 +30,10 @@ STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 30
 REFS = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 VISC = float(sys.argv[3]) if len(sys.argv) > 3 else 0.05
 OUT = sys.argv[4] if len(sys.argv) > 4 else "/tmp/ref2d_out"
+# reference-default configuration (2d_admm.lua:43-58): admmSteps=1000,
+# tau=1.0 - overridable so the short r1 fixture configs stay reproducible
+ADMM_STEPS = int(sys.argv[5]) if len(sys.argv) > 5 else 40
+TAU = float(sys.argv[6]) if len(sys.argv) > 6 else 2.0
 GRID = os.environ.get(
     "REF2D_GRID", "/root/reference/grids/refined.ugx"
 )
@@ -44,7 +48,7 @@ from admm_optim_tpu.optim import admm
 
 cfg = ProblemConfig(
     dim=2, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
-    admm=admm.ADMMConfig(admm_steps=40, ns_max_its=8, tau=2.0,
+    admm=admm.ADMMConfig(admm_steps=ADMM_STEPS, ns_max_its=8, tau=TAU,
                          lin_max_iters=120),
 )
 if not ON_CPU:
