@@ -769,10 +769,35 @@ class ObstacleShapeOpt:
             X = self.X0
             s0 = self.initial_state(X)
             # viscosity continuation for the cold start (the reference warm-
-            # starts every subsequent solve from the previous flow field)
+            # starts every subsequent solve from the previous flow field).
+            # Adaptive: a failed rung is retried from the last converged
+            # state at the geometric mean viscosity (measured 3D refs=2:
+            # the 0.08 -> 0.05 halving stalled Newton, while inserting
+            # 0.064/0.055 rungs converged each in 3 iterations)
             s = s0
-            for nu in _continuation_ladder(cfg.visc):
-                s, it, nrm, conv = self._ns_solve(X, s, visc=nu)
+            nus = list(_continuation_ladder(cfg.visc))
+            nu_ok = None
+            bisects = 0
+            i = 0
+            conv = jnp.asarray(True)
+            while i < len(nus):
+                nu = nus[i]
+                s_try, it, nrm, conv = self._ns_solve(X, s, visc=nu)
+                if bool(conv):
+                    s, nu_ok = s_try, nu
+                    i += 1
+                    continue
+                if bisects >= 6:
+                    break
+                prev = nu_ok if nu_ok is not None else nus[0] * 2.0
+                mid = float(np.sqrt(prev * nu))
+                if verbose:
+                    print(
+                        f"continuation: nu={nu} failed (|R|={float(nrm):.2e}), "
+                        f"inserting rung nu={mid:.4f}"
+                    )
+                nus.insert(i, mid)
+                bisects += 1
             if not bool(conv):
                 raise RuntimeError(f"initial NS solve failed: residual {float(nrm)}")
             drag_old = float(self._drag(X, s))

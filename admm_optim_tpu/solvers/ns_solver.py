@@ -31,7 +31,14 @@ class NewtonConfig:
     accept_tol: float = 1e-7
     line_search_steps: int = 20
     line_search_reduce: float = 0.9
-    lin_restart: int = 60
+    # FGMRES restart length.  Too short STARVES the Krylov space when the
+    # preconditioned spectrum stiffens: measured 3D refs=2 visc=0.05 on
+    # v5e, restart=60 could not reduce the linear residual 1e-2 in 600
+    # iterations (every Newton step burned the cap, outer |R| frozen at
+    # 2.9e-2) while restart=200 converged the same solve in 3 Newton
+    # iterations / 57 s.  Memory: the flexible basis stores 2*(restart+1)
+    # state-sized vectors - lower this for >5M-dof NS states.
+    lin_restart: int = 200
     lin_max_iters: int = 600
     # inexact-Newton forcing term: 1e-2 keeps the superlinear outer
     # trajectory (the abs floor tied to accept_tol supplies the final
