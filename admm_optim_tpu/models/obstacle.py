@@ -59,13 +59,16 @@ class ProblemConfig:
     diameter: float = 6.0
     max_attempts_per_step: int = 12  # bound on the reference's while(true)
     grid_path: str | None = None  # load a .ugx instead of generating
-    # NS pressure-block preconditioner: "pcd" (Kay-Loghin-Wathen pressure
-    # convection-diffusion Schur approximation, default) vs "mass" (lumped
-    # mass/nu Stokes surrogate).  With per-Newton-step preconditioner
-    # refresh PCD wins or ties at every measured config and is 1.8x fewer
-    # GMRES iterations at the reference-default visc=0.02 (2D refs=2:
-    # 1380 vs 2460)
-    pressure_precond: str = "pcd"
+    # NS pressure-block preconditioner: "mass" (lumped mass/nu Stokes
+    # surrogate, default) vs "pcd" (Kay-Loghin-Wathen pressure
+    # convection-diffusion Schur approximation).  PCD needs ~30-45% fewer
+    # GMRES iterations (r1: 1380 vs 2460 at 2D refs=2 visc=0.02) but its
+    # per-application cost measured ~7x on v5e (3D refs=2 visc=0.05:
+    # 142 ms vs 22 ms per preconditioned iteration), so mass wins
+    # wall-clock 4.75x there (12 s vs 57 s warm solve, same 3 Newton
+    # iterations).  Revisit if the PCD pressure block's apply cost is
+    # brought down to the scalar-V-cycle level it should be.
+    pressure_precond: str = "mass"
     # velocity-block strength: V-cycle-preconditioned Richardson steps per
     # preconditioner application (patch NS backend).  >1 trades cheap
     # gather-free V-cycles for outer GMRES iterations (= expensive P2
