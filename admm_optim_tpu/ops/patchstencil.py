@@ -305,12 +305,18 @@ def apply_w(ps: PatchSet, W, x):
     from . import pallas_stencil
 
     if (
-        W.ndim == x.ndim + 2
-        and W.shape[2] == len(ps.stencil)
-        and W.shape[3] == W.shape[4]
+        W.ndim == 7
+        and x.ndim == 5
+        and W.shape[:2] == x.shape[1:3]  # (n0, n1)
+        and W.shape[2] == len(ps.stencil)  # O
+        and W.shape[3] == W.shape[4] == x.shape[0]  # (C, C)
+        and W.shape[5:] == x.shape[3:]  # (n2, P)
     ):
         # pencil-major (n0, n1, O, C, C, n2, P) layout (TPU-only storage
-        # for the bf16 smoother stream; see pallas_stencil.to_pencil_major)
+        # for the bf16 smoother stream; see pallas_stencil.to_pencil_major).
+        # The axis-by-axis match is deliberate: a looser test misdispatched
+        # the NS velocity conv-diff stencil (slot-major) into the Pallas
+        # kernel, which also broke jax.vjp through transpose_M.
         return pallas_stencil.apply_w_pc(ps, W, x)
     if pallas_stencil.usable(ps, W, x):
         return pallas_stencil.apply_w_pallas(ps, W, x)
