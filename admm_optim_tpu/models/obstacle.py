@@ -226,8 +226,12 @@ class ObstacleShapeOpt:
             from ..solvers import patch_mg as _pmg_ns
 
             self.pre_ps = _bps(pre_hier, dirichlet=ns_dir)
+            # smoother_w="f32": the NS preconditioner is transposed via
+            # jax.vjp for the adjoint solve (transpose_M), and the bf16
+            # pencil-major Pallas smoother kernel has no AD rule
             self._pre_struct_p = _pmg_ns.PatchMGStructure(
-                self.pre_ps, pre_smooth=2, post_smooth=2, smoother="jacobi"
+                self.pre_ps, pre_smooth=2, post_smooth=2, smoother="jacobi",
+                smoother_w="f32",
             )
             self._pre_tabs_p = _pmg_ns.make_level_tables(
                 self.pre_ps, jnp.asarray(lvl.coords).dtype
@@ -420,7 +424,8 @@ class ObstacleShapeOpt:
                     hier, self._ps_k, _cdtype
                 )
                 self._pcd_struct_p = _pmg_p.PatchMGStructure(
-                    self._ps_k, pre_smooth=2, post_smooth=2, smoother="jacobi"
+                    self._ps_k, pre_smooth=2, post_smooth=2, smoother="jacobi",
+                    smoother_w="f32",
                 )
                 _p_pat0 = self.p_space.patterns[0]
                 _p_fixed0 = np.asarray(self.p_space.fixed[0])

@@ -382,13 +382,49 @@ def usable_pc(ps, W_pc, x) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def transpose_pc(stencil, W_pc):
+    """Exact transpose of the pc-layout stencil operator: W'[s, o, d, c] =
+    W[s+o, -o, c, d] (global linear-algebra transpose of the per-patch
+    apply; wrapped roll entries only ever multiply the apply's zero x-halo,
+    the to_pencil_major argument).  Used by apply_w_pc's custom vjp so the
+    Pallas kernel is reverse-mode differentiable in x - jax.vjp through
+    the adjoint NS preconditioner (solvers.ns_solver.transpose_M) needs
+    exactly this transposed application."""
+    stencil = [tuple(int(v) for v in o) for o in stencil]
+    neg = {oi: stencil.index(tuple(-v for v in o)) for oi, o in enumerate(stencil)}
+    blocks = []
+    for oi, o in enumerate(stencil):
+        pair = W_pc[:, :, neg[oi]]  # (n0, n1, C, C, n2, P)
+        pt = jnp.swapaxes(pair, 2, 3)
+        pt = jnp.roll(pt, shift=tuple(-int(v) for v in o), axis=(0, 1, 4))
+        blocks.append(pt)
+    return jnp.stack(blocks, axis=2)
+
+
 def apply_w_pc(ps, W_pc, x):
     stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
     # interpret mode keeps the pc layout usable off-TPU (tests); production
     # pc storage is only built on the TPU backend (patch_mg.assemble)
-    return _apply_w_pallas_3d_pc(
-        stencil, W_pc, x, interpret=jax.default_backend() != "tpu"
-    )
+    interp = jax.default_backend() != "tpu"
+
+    # custom vjp in x: Pallas kernels carry no AD rule, but the apply is
+    # linear, so the backward pass is one application of the transposed
+    # stencil.  W_pc is closed over: differentiating w.r.t. the stencil
+    # raises (custom_vjp closure), which is the honest behavior - the
+    # consumers differentiate in x only (transpose_M).
+    @jax.custom_vjp
+    def f(xx):
+        return _apply_w_pallas_3d_pc(stencil, W_pc, xx, interpret=interp)
+
+    def fwd(xx):
+        return f(xx), None
+
+    def bwd(_, g):
+        Wt = transpose_pc(stencil, W_pc)
+        return (_apply_w_pallas_3d_pc(stencil, Wt, g, interpret=interp),)
+
+    f.defvjp(fwd, bwd)
+    return f(x)
 
 
 def _eft_two_sum(a, b):

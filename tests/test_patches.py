@@ -342,3 +342,52 @@ def test_exchange_fast_paths_match_gather_fallbacks(dim, refs, monkeypatch):
     sh_, sl_ = st.exchange_sum_df(tab_slow, xh, xl)
     assert np.array_equal(np.asarray(fh), np.asarray(sh_))
     assert np.array_equal(np.asarray(fl), np.asarray(sl_))
+
+
+def test_pc_layout_apply_and_vjp_match_xla():
+    """Pencil-major layout: to_pencil_major (full + sym expansion),
+    apply_w_pc (interpret mode), and its custom vjp (= transposed apply)
+    all match the XLA slot-major reference."""
+    import jax
+
+    from admm_optim_tpu.ops import pallas_stencil as pst
+
+    hier = _hier(3, 1)
+    ps = build_patchset(hier)
+    lvl = ps.fine
+    P = lvl.gid.shape[0]
+    lat = lvl.lat_shape
+    C, O = 3, len(ps.stencil)
+    rng = np.random.default_rng(2)
+    W = jnp.asarray(rng.normal(size=(O, C, C) + lat + (P,)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(C,) + lat + (P,)), jnp.float32)
+
+    W_pc = pst.to_pencil_major(ps, W)
+    y_ref = st.apply_w(ps, W, x)
+    y_pc = pst.apply_w_pc(ps, W_pc, x)
+    nref = float(jnp.linalg.norm(y_ref.ravel()))
+    assert float(jnp.linalg.norm((y_pc - y_ref).ravel())) < 1e-5 * nref
+
+    # sym-expansion path == expand_sym_w + pencil transform
+    coords_p = st.to_patch(lvl, jnp.asarray(hier.fine.coords.T))
+    fn = lambda c: deformation_corner_mats(c, 1.0, 2.0, 0.5)
+    W_sym = jnp.asarray(st.assemble_w(ps, ps.k, coords_p, fn, sym=True), jnp.float32)
+    W_full = jnp.asarray(st.expand_sym_w(ps, W_sym), jnp.float32)
+    pc_a = pst.to_pencil_major(ps, W_sym)
+    pc_b = pst.to_pencil_major(ps, W_full)
+    # wrapped roll entries may differ where the apply's zero halo
+    # annihilates them; compare through the operator action instead
+    ya = pst.apply_w_pc(ps, pc_a, x)
+    yb = pst.apply_w_pc(ps, pc_b, x)
+    assert float(jnp.linalg.norm((ya - yb).ravel())) < 1e-5 * max(
+        float(jnp.linalg.norm(yb.ravel())), 1e-30
+    )
+
+    # custom vjp == vjp of the XLA apply (reverse-mode through the kernel)
+    g = jnp.asarray(rng.normal(size=y_ref.shape), jnp.float32)
+    _, vjp_pc = jax.vjp(lambda xx: pst.apply_w_pc(ps, W_pc, xx), x)
+    (xbar,) = vjp_pc(g)
+    _, vjp_ref = jax.vjp(lambda xx: st.apply_w(ps, W, xx), x)
+    (xbar_ref,) = vjp_ref(g)
+    nrefb = float(jnp.linalg.norm(xbar_ref.ravel()))
+    assert float(jnp.linalg.norm((xbar - xbar_ref).ravel())) < 1e-5 * nrefb
