@@ -71,6 +71,13 @@ class ADMMConfig:
     lin_max_iters: int = 200
     lin_abs_tol: float = 1e-12
     lin_rel_tol: float = 1e-10
+    # run the x-update's (1+m) Krylov solves sequentially (lax.map) instead
+    # of vmapped: the constraint-HVP's AD temporaries carry XLA layouts
+    # with up to 128x tile padding at large 3D lattices (measured refs=3:
+    # ~10 live 1.3 GB padded temps under vmap -> OOM), and sequencing
+    # bounds the peak at one solve's working set.  Wall-clock-neutral when
+    # each solve saturates the chip.
+    xsolve_sequential: bool = False
     # stagnation acceptance for the x-update Krylov solves (f32 path): a
     # solve that misses lin_abs/rel_tol but reaches a relative residual
     # <= lin_accept_rel is still OK - in f32 the achievable BiCGStab floor
@@ -251,7 +258,10 @@ def newton_xupdate_ops(
                 ok = ok | (res.res_norm <= cfg.lin_accept_rel * bn)
             return res.x, res.iters, ok
 
-        xs, its, convs = jax.vmap(one)(rhs_batch, x0_batch)
+        if cfg.xsolve_sequential:
+            xs, its, convs = jax.lax.map(lambda a: one(*a), (rhs_batch, x0_batch))
+        else:
+            xs, its, convs = jax.vmap(one)(rhs_batch, x0_batch)
         return xs, its.astype(jnp.int32), jnp.all(convs)
 
     def cond(state):
