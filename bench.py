@@ -381,14 +381,15 @@ def main():
     # (24M DoF) attempted only with budget to spare, refs=3 as fallback
     sizes = [4, 5, 3] if platform != "cpu" else [1]
     best = None
-    ctxs = {}
     for refs in sizes:
         if best is not None and elapsed() > BUDGET_S * 0.55:
             log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
             continue
         try:
             dof_per_s, ctx = run_size(refs)
-            ctxs[refs] = ctx
+            # free this size's device arrays before the next: refs=4's
+            # stencils left resident OOMed the refs=5 assembly (measured)
+            del ctx
             if best is None or dof_per_s > best[1]:
                 best = (refs, dof_per_s)
                 _best_result.update(
@@ -412,9 +413,9 @@ def main():
     # derivatives are the planned fix)
     if platform != "cpu" and elapsed() < BUDGET_S * 0.85:
         try:
-            if 2 not in ctxs:
-                _, ctxs[2] = run_size(2)
-            admm_throughput(2, ctxs[2])
+            _, ctx2 = run_size(2)
+            admm_throughput(2, ctx2)
+            del ctx2
         except Exception as e:  # noqa: BLE001 - secondary must not sink main
             log(f"admm throughput failed: {e!r}")
     _emit(
