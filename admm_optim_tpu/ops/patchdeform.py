@@ -58,17 +58,50 @@ def cell_grads(ps: PatchSet, coords_p, u_p):
     m = coords_p.shape[1] - 1
     g, vol = cell_geometry(ps, coords_p)
     uc = class_corners(ps, u_p, m)  # (C, nl, T, *cells, P)
-    G = jnp.einsum("id...,ci...->cd...", g, uc)
+    # unrolled tiny contraction (C*d*nl <= 36 terms): the einsum form
+    # lowers to per-cell MXU matmuls whose operand layouts put the (4,128)
+    # tile on the size-3/4 axes - measured 25-57x padding expansion on the
+    # full-lattice temporaries (OOM at 3D refs>=3)
+    nl = g.shape[0]
+    C = uc.shape[0]
+    d = g.shape[1]
+    G = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    sum(g[i, dd] * uc[c, i] for i in range(nl))
+                    for dd in range(d)
+                ]
+            )
+            for c in range(C)
+        ]
+    )
     return G, vol
 
 
-def tensor_rhs_p(ps: PatchSet, coords_p, M):
+def tensor_rhs_p(ps: PatchSet, coords_p, M, vol=None):
     """Additive r (C, *lat, P): r = int M : grad w dx for per-cell tensor
-    M (d, d, T, *cells, P).  Scatter-free (padded adds)."""
+    M (d, d, T, *cells, P).  Scatter-free (padded adds).  vol: optional
+    per-cell weights overriding the geometric volumes (the analytic
+    constraint derivatives pass pvalid-masked volumes)."""
     dim = ps.dim
     m = coords_p.shape[1] - 1
-    g, vol = cell_geometry(ps, coords_p)
-    contrib = jnp.einsum("...,cd...,id...->ci...", vol, M, g)  # (C, nl, T, *cells, P)
+    g, vol_geo = cell_geometry(ps, coords_p)
+    if vol is None:
+        vol = vol_geo
+    # (C, nl, T, *cells, P); unrolled like cell_grads (layout pathology)
+    nl_ = dim + 1
+    contrib = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    vol * sum(M[c, dd] * g[i, dd] for dd in range(dim))
+                    for i in range(nl_)
+                ],
+            )
+            for c in range(M.shape[0])
+        ]
+    )
     r = None
     for t, co in enumerate(ps.class_offsets):
         for a in range(dim + 1):
@@ -135,13 +168,173 @@ def constraint_grads_p(ps, coords_p, u_p, ref_volume, ref_barycenter,
 
 def constraint_hvp_p(ps, coords_p, u_p, Lmbda, ref_volume, ref_barycenter, x_p,
                      pvalid=None):
-    """ADDITIVE (sum_i Lambda_i d2g_i/du2) @ x."""
+    """ADDITIVE (sum_i Lambda_i d2g_i/du2) @ x.  AD form, kept as the
+    reference implementation for the analytic version's tests."""
 
     def lag(uu):
         g = constraints_p(ps, coords_p, uu, ref_volume, ref_barycenter, pvalid)
         return jnp.vdot(Lmbda, g)
 
     return jax.jvp(jax.grad(lag), (u_p,), (x_p,))[1]
+
+
+# ---------------------------------------------------------------------------
+# analytic constraint derivatives (cofactor calculus)
+#
+# The jacrev/jvp forms above are exact but their AD-transposed temporaries
+# at 3D refs>=3 get XLA layouts with up to 128x tile padding (a single
+# 33.8 GB padded temp at refs=4 - docs/ROADMAP.md round-2 notes).  The
+# functionals are low-degree polynomials in u, so the derivatives have
+# closed cofactor forms that assemble through the SAME controlled-layout
+# pad-add scatter as tensor_rhs_p:
+#   g_vol(u)  = sum vol det(A),  A = I + grad u
+#   g_bar_j(u)= sum vol det(A) cent_j(u),  cent = corner mean of x + u
+#   d det(A)[E]      = cof(A) : E
+#   d2 det(A)[E1,E2] = Dcof(A)[E2] : E1   (Dcof bilinear, symmetric)
+# ---------------------------------------------------------------------------
+
+
+def _cof(A):
+    """Cofactor matrix dd det/ddA of (d, d, ...) stacks (matches sdet)."""
+    d = A.shape[0]
+    if d == 2:
+        return jnp.stack(
+            [
+                jnp.stack([A[1, 1], -A[1, 0]]),
+                jnp.stack([-A[0, 1], A[0, 0]]),
+            ]
+        )
+    r = lambda a, b, c, e: A[a[0], a[1]] * A[b[0], b[1]] - A[c[0], c[1]] * A[e[0], e[1]]
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    r((1, 1), (2, 2), (1, 2), (2, 1)),
+                    -r((1, 0), (2, 2), (1, 2), (2, 0)),
+                    r((1, 0), (2, 1), (1, 1), (2, 0)),
+                ]
+            ),
+            jnp.stack(
+                [
+                    -r((0, 1), (2, 2), (0, 2), (2, 1)),
+                    r((0, 0), (2, 2), (0, 2), (2, 0)),
+                    -r((0, 0), (2, 1), (0, 1), (2, 0)),
+                ]
+            ),
+            jnp.stack(
+                [
+                    r((0, 1), (1, 2), (0, 2), (1, 1)),
+                    -r((0, 0), (1, 2), (0, 2), (1, 0)),
+                    r((0, 0), (1, 1), (0, 1), (1, 0)),
+                ]
+            ),
+        ]
+    )
+
+
+def _dcof(A, E):
+    """Directional derivative Dcof(A)[E] (d/dt cof(A + tE) at t=0)."""
+    d = A.shape[0]
+    if d == 2:
+        return _cof(E)  # cof is linear in 2D
+
+    def p(a, b):
+        return A[a[0], a[1]] * E[b[0], b[1]] + E[a[0], a[1]] * A[b[0], b[1]]
+
+    r = lambda a, b, c, e: p(a, b) - p(c, e)
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    r((1, 1), (2, 2), (1, 2), (2, 1)),
+                    -r((1, 0), (2, 2), (1, 2), (2, 0)),
+                    r((1, 0), (2, 1), (1, 1), (2, 0)),
+                ]
+            ),
+            jnp.stack(
+                [
+                    -r((0, 1), (2, 2), (0, 2), (2, 1)),
+                    r((0, 0), (2, 2), (0, 2), (2, 0)),
+                    -r((0, 0), (2, 1), (0, 1), (2, 0)),
+                ]
+            ),
+            jnp.stack(
+                [
+                    r((0, 1), (1, 2), (0, 2), (1, 1)),
+                    -r((0, 0), (1, 2), (0, 2), (1, 0)),
+                    r((0, 0), (1, 1), (0, 1), (1, 0)),
+                ]
+            ),
+        ]
+    )
+
+
+def scalar_rhs_p(ps: PatchSet, S):
+    """Additive r (C, *lat, P) from per-cell scalars S (C, T, *cells, P):
+    each cell adds S[c]/nl at every corner (the mass-like centroid term of
+    the barycenter derivatives)."""
+    dim = ps.dim
+    nl = dim + 1
+    contrib = S / nl
+    r = None
+    for t, co in enumerate(ps.class_offsets):
+        for a in range(nl):
+            pad = [(0, 0)] + [(int(o), 1 - int(o)) for o in co[a]] + [(0, 0)]
+            term = jnp.pad(contrib[:, t], pad)
+            r = term if r is None else r + term
+    return r
+
+
+def _cell_state(ps, coords_p, u_p, pvalid):
+    m = coords_p.shape[1] - 1
+    G, vol = cell_grads(ps, coords_p, u_p)
+    vol = _vmask(vol, pvalid)
+    d = ps.dim
+    eye = jnp.eye(d, dtype=coords_p.dtype).reshape((d, d) + (1,) * (G.ndim - 2))
+    A = eye + G
+    xc = class_corners(ps, coords_p, m) + class_corners(ps, u_p, m)
+    cent = xc.mean(axis=1)  # (d, T, *cells, P)
+    return A, vol, cent, m
+
+
+def constraint_grads_analytic_p(ps, coords_p, u_p, ref_volume, ref_barycenter,
+                                pvalid=None):
+    """ADDITIVE B (m, C, *lat, P) = dg/du, closed form:
+    B_vol       = sum_cells vol cof(A)[c,b] g[i,b]
+    B_bar_j     = sum_cells vol (cof(A)[c,b] g[i,b] cent_j + det(A) e_j/nl).
+    Validated against the jacrev form (tests/test_patch_admm.py)."""
+    d = ps.dim
+    A, vol, cent, m = _cell_state(ps, coords_p, u_p, pvalid)
+    cof = _cof(A)
+    det = sdet(A)
+    rows = [tensor_rhs_p(ps, coords_p, cof, vol=vol)]
+    for j in range(d):
+        r = tensor_rhs_p(ps, coords_p, cof * cent[j], vol=vol)
+        S = jnp.zeros((d,) + det.shape, det.dtype).at[j].set(vol * det)
+        rows.append(r + scalar_rhs_p(ps, S))
+    return jnp.stack(rows)
+
+
+def constraint_hvp_analytic_p(ps, coords_p, u_p, Lmbda, ref_volume,
+                              ref_barycenter, x_p, pvalid=None):
+    """ADDITIVE (sum_k Lambda_k d2g_k/du2) @ x, closed form:
+    h = sum vol [ (L0 Dcof(A)[Ex]
+                   + sum_j L_{1+j} (Dcof(A)[Ex] cent_j + cof(A) cx_j))
+                     : grad w
+                 + sum_j L_{1+j} (cof(A):Ex) e_j . w/nl ]"""
+    d = ps.dim
+    A, vol, cent, m = _cell_state(ps, coords_p, u_p, pvalid)
+    cof = _cof(A)
+    Ex, _ = cell_grads(ps, coords_p, x_p)
+    cx = class_corners(ps, x_p, m).mean(axis=1)  # (d, T, *cells, P)
+    dc = _dcof(A, Ex)
+    M = Lmbda[0] * dc
+    cofEx = sum(cof[a, b] * Ex[a, b] for a in range(d) for b in range(d))
+    S = jnp.zeros((d,) + cofEx.shape, cofEx.dtype)
+    for j in range(d):
+        M = M + Lmbda[1 + j] * (dc * cent[j] + cof * cx[j])
+        S = S.at[j].set(Lmbda[1 + j] * vol * cofEx)
+    return tensor_rhs_p(ps, coords_p, M, vol=vol) + scalar_rhs_p(ps, S)
 
 
 def z_update_p(ps, coords_p, u_p, lam, tau, sigma, norm_name="frobenius"):

@@ -190,14 +190,16 @@ class PatchOps:
         return self._psum(g) - refs
 
     def constraint_grads(self, u, ref_volume, ref_barycenter):
-        B = pdfm.constraint_grads_p(
+        # analytic cofactor form: the jacrev AD transpose carries
+        # 128x-tile-padded temporaries at 3D refs>=3 (ops.patchdeform)
+        B = pdfm.constraint_grads_analytic_p(
             self.ps, self.coords_p, u, ref_volume, ref_barycenter,
             pvalid=self.pvalid,
         )
         return jax.vmap(self._cons)(B)
 
     def constraint_hvp(self, u, Lmbda, ref_volume, ref_barycenter, x):
-        h = pdfm.constraint_hvp_p(
+        h = pdfm.constraint_hvp_analytic_p(
             self.ps, self.coords_p, u, Lmbda, ref_volume, ref_barycenter,
             x * self.free, pvalid=self.pvalid,
         )

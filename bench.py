@@ -282,7 +282,6 @@ def admm_throughput(num_refs, ctx):
         admm_steps=K, admm_tolerance=0.0,  # run all K iterations
         tau=1.0, ns_max_its=2, ns_tol=1e-4,
         lin_max_iters=40, lin_abs_tol=1e-7, lin_rel_tol=1e-5,
-        xsolve_sequential=True,  # constraint-HVP AD temps OOM vmapped at refs>=3
     )
     coords_p = st.to_patch(ps.fine, jnp.asarray(coords).T)
     ops_ = PatchOps(struct, data, coords_p)
@@ -405,17 +404,15 @@ def main():
                           "vs_baseline": 0.0}))
         return
     refs, dof_per_s = best
-    # secondary metric (stderr record): ADMM inner-iteration throughput.
-    # Runs at refs=2: the constraint-derivative AD temporaries (jacrev of
-    # the lattice constraint functionals) carry degenerate XLA layouts
-    # with up to 128x tile padding - refs>=3 OOMs a 16 GB chip on padding
-    # alone (docs/ROADMAP.md round-2 notes; analytic cofactor-based
-    # derivatives are the planned fix)
+    # secondary metric (stderr record): ADMM inner-iteration throughput
+    # at refs=3 (the analytic cofactor constraint derivatives replaced the
+    # jacrev/jvp forms whose AD-transposed temporaries OOMed refs>=3 on
+    # XLA tile padding alone - ops.patchdeform)
     if platform != "cpu" and elapsed() < BUDGET_S * 0.85:
         try:
-            _, ctx2 = run_size(2)
-            admm_throughput(2, ctx2)
-            del ctx2
+            _, ctx3 = run_size(3)
+            admm_throughput(3, ctx3)
+            del ctx3
         except Exception as e:  # noqa: BLE001 - secondary must not sink main
             log(f"admm throughput failed: {e!r}")
     _emit(

@@ -156,3 +156,40 @@ def test_admm_inner_patch_matches_global(dim, refs):
     np.testing.assert_allclose(
         float(st_g.u_diff_norm), float(st_p.u_diff_norm), rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_analytic_constraint_derivatives_match_ad(dim, refs):
+    """Closed-form cofactor constraint derivatives == jacrev/jvp forms
+    (the AD forms OOM on XLA tile padding at 3D refs>=3; the analytic
+    forms are the production path)."""
+    from admm_optim_tpu.ops import patchdeform as pdfm
+
+    base = geomgen.channel_2d(diag="fixed") if dim == 2 else geomgen.channel_3d()
+    levels = [base]
+    for _ in range(refs):
+        levels.append(refine(levels[-1]))
+    hier = Hierarchy(levels)
+    ps = build_patchset(hier)
+    coords_p = pst.to_patch(ps.fine, jnp.asarray(hier.fine.coords.T))
+    rng = np.random.default_rng(7)
+    shape = coords_p.shape
+    u = jnp.asarray(rng.normal(size=shape)) * 0.05
+    x = jnp.asarray(rng.normal(size=shape))
+    Lm = jnp.asarray(rng.normal(size=(1 + dim,)))
+    P = shape[-1]
+    for pvalid in (None, jnp.asarray((np.arange(P) % 5 != 0), coords_p.dtype)):
+        B_ad = pdfm.constraint_grads_p(ps, coords_p, u, 0.0,
+                                       jnp.zeros(dim), pvalid=pvalid)
+        B_an = pdfm.constraint_grads_analytic_p(ps, coords_p, u, 0.0,
+                                                jnp.zeros(dim), pvalid=pvalid)
+        np.testing.assert_allclose(
+            np.asarray(B_an), np.asarray(B_ad), rtol=1e-10, atol=1e-12
+        )
+        h_ad = pdfm.constraint_hvp_p(ps, coords_p, u, Lm, 0.0, jnp.zeros(dim),
+                                     x, pvalid=pvalid)
+        h_an = pdfm.constraint_hvp_analytic_p(ps, coords_p, u, Lm, 0.0,
+                                              jnp.zeros(dim), x, pvalid=pvalid)
+        np.testing.assert_allclose(
+            np.asarray(h_an), np.asarray(h_ad), rtol=1e-10, atol=1e-12
+        )
