@@ -70,11 +70,19 @@ def build_parser() -> argparse.ArgumentParser:
     a("-outDir", type=str, default="./admm_out")
     a("-x64", action="store_true", help="run in float64 on CPU")
     a("-restart", type=str, default=None, help="checkpoint file to resume from")
+    a("-autoResume", type=int, default=0,
+      help="retry-from-checkpoint up to N times on a device/tunnel fault "
+           "(model + device buffers rebuilt; telemetry stays contiguous)")
     a("-bOutputMesh", type=int, default=1)
     a("-bOutputFlows", type=int, default=0,
       help="write flow velocity into the per-step VTU (2d:77)")
     a("-bOutputPressure", type=int, default=0)
     a("-bOutputAdjoints", type=int, default=0)
+    a("-bDebugOutput", type=int, default=0,
+      help="per-step mesh .ugx dump + Lu/RHS/delta_u debug VTUs "
+           "(2d:80, 788, 962-1076); forces the host-stepped ADMM driver")
+    a("-bDebugNodalPositions", type=int, default=0,
+      help="per-step VTU of the deformed nodal positions (2d:81)")
     a("-bDebugSensitivity", type=int, default=0,
       help="write the shape gradient J' into the per-step VTU (2d:82)")
     a("-bOutputIntermediateUp", type=int, default=0,
@@ -136,6 +144,8 @@ def main(argv=None) -> int:
         pressure_precond=args.pressurePrecond,
         vel_inner=args.velInner,
         newton_output=bool(args.bNewtonOutput),
+        debug_output=bool(args.bDebugOutput),
+        debug_nodal_positions=bool(args.bDebugNodalPositions),
         debug_nans=bool(args.debugNans),
         admm=ADMMConfig(
             admm_steps=args.admmSteps,
@@ -258,17 +268,43 @@ def main(argv=None) -> int:
 
         trace_ctx = device_trace(args.traceDir)
 
+    run_kwargs = dict(
+        telemetry=tele,
+        callback=callback,
+        verbose=bool(args.verbose),
+        profiler=profiler,
+        catalog_failures=bool(args.bSaveFailures),
+        admm_iter_cb=admm_iter_cb,
+    )
     with trace_ctx:
-        hist = prob.run(
-            telemetry=tele,
-            callback=callback,
-            verbose=bool(args.verbose),
-            resume=start_state,
-            checkpoint_path=f"{args.outDir}/checkpoint.npz",
-            profiler=profiler,
-            catalog_failures=bool(args.bSaveFailures),
-            admm_iter_cb=admm_iter_cb,
-        )
+        if args.autoResume > 0:
+            from .io.resume import resumable_run
+
+            # on restart the callbacks pick up the rebuilt prob via the
+            # nonlocal; mesh topology (elems/spaces) is geometry-constant
+            first = [True]
+
+            def build_model():
+                nonlocal prob
+                if first[0]:
+                    first[0] = False
+                else:
+                    prob = ObstacleShapeOpt(cfg)
+                return prob
+
+            hist = resumable_run(
+                build_model,
+                f"{args.outDir}/checkpoint.npz",
+                max_restarts=args.autoResume,
+                resume=start_state,
+                **run_kwargs,
+            )
+        else:
+            hist = prob.run(
+                resume=start_state,
+                checkpoint_path=f"{args.outDir}/checkpoint.npz",
+                **run_kwargs,
+            )
     tele.close()
     if profiler is not None:
         print(profiler.report())

@@ -39,10 +39,31 @@ class TelemetryWriter:
             [steps, drag, norm_drag, drag_diff, shape_deriv],
         )
 
-    def write_iterations(self, steps, admm_steps, thresholds, newton, lin_total):
+    def write_iterations(self, steps, admm_steps, thresholds, newton, lin_total,
+                         solver_iters=None, dim=2):
+        """__Iterations_per_step.txt.  solver_iters: per-step tuples of
+        per-solve-slot Krylov sums (rhs, B_vol, B_x, B_y(, B_z)).
+
+        2D column layout (2d_admm.lua:1383-1384): step, ADMM steps, sigma
+        threshold, Newton steps, total linear, RHS, Bvol, Bx, By, Large.
+        3D layout (3d_admm.lua:1416-1417) drops the ADMM-steps/threshold
+        columns: step, Newton, total linear, RHS, Bvol, Bx, By, Bz, Large.
+        The reference's "large problem" solve is eliminated algebraically
+        here (optim.admm module docstring), so its column is 0."""
+        if solver_iters is None:
+            solver_iters = [() for _ in steps]
+        m1 = max((len(si) for si in solver_iters), default=0)
+        per = [
+            [int(si[j]) if j < len(si) else 0 for si in solver_iters]
+            for j in range(m1)
+        ]
+        large = [0 for _ in steps]
+        if dim == 3:
+            cols = [steps, newton, lin_total] + per + [large]
+        else:
+            cols = [steps, admm_steps, thresholds, newton, lin_total] + per + [large]
         write_columns(
-            os.path.join(self.out_dir, "__Iterations_per_step.txt"),
-            [steps, admm_steps, thresholds, newton, lin_total],
+            os.path.join(self.out_dir, "__Iterations_per_step.txt"), cols
         )
 
     def write_failures(self, fsteps, at_step, fdrag, fdiff, fthresh):

@@ -96,6 +96,18 @@ class ProblemConfig:
     # __NewtonIterations_step_N_ per accepted step.  Forces the host-stepped
     # ADMM driver (the per-iteration histories live on the host there).
     newton_output: bool = False
+    # -bDebugOutput (2d:80): per-step mesh dump Mesh_lev{numRefs}_step{N}.ugx
+    # (SaveGridLevelToFile, 2d:788) + VTUs of the x-update debug fields
+    # ConsistentLu_step_N / RHSBigProb_N / delta_u (2d:962-1076).  The
+    # reference writes the VTUs once per Newton iteration; here they hold
+    # the LAST Newton iteration of the last ADMM iteration (the jitted
+    # loops never materialize earlier iterates).  Forces the host-stepped
+    # ADMM driver.
+    debug_output: bool = False
+    # -bDebugNodalPositions (2d:81, 3d:1393-1399): per accepted step, a VTU
+    # "grid_positions" whose nodal vector field is the current (deformed)
+    # vertex coordinates
+    debug_nodal_positions: bool = False
     # -debugNans: host-side finite checks at every outer-loop phase boundary
     # (adjoint / J' / assemble / ADMM / NS re-solve); raises
     # utils.debug.NonFiniteError naming the phase (SURVEY section 5 NaN-
@@ -160,6 +172,9 @@ class StepRecord:
     lin_iters: int
     attempts: int
     wall_time: float
+    # per-solve-slot Krylov iteration sums (rhs, B_vol, B_x, B_y(, B_z)) -
+    # the reference's sum_rhssolver/sum_b*solver counters (2d:1379-1381)
+    solver_iters: tuple = ()
 
 
 class ObstacleShapeOpt:
@@ -690,15 +705,16 @@ class ObstacleShapeOpt:
         self._global_ops_builder = _global_ops_builder
 
         def _admm_dispatch(mgdata, X, Jp, sigma, scaling, iter_cb=None,
-                           newton_hist_out=None, full_stats_out=None):
+                           newton_hist_out=None, full_stats_out=None,
+                           debug_out=None):
             # the host-stepped driver runs when the problem is large (one
             # device execution per ADMM iteration), when the caller wants
-            # every iterate's u (-bOutputIntermediateUp, 2d:84), or when
+            # every iterate's u (-bOutputIntermediateUp, 2d:84), when
             # per-Newton-iteration telemetry is requested (-bNewtonOutput,
-            # 2d:1256-1259) - the monolithic jitted loop never materializes
-            # intermediates
+            # 2d:1256-1259), or when -bDebugOutput field dumps are wanted -
+            # the monolithic jitted loop never materializes intermediates
             if (self._admm_stepped_on or iter_cb is not None
-                    or newton_hist_out is not None):
+                    or newton_hist_out is not None or debug_out is not None):
                 if self.use_patch:
                     coords_p, Jp_p = self._patch_conv(X, Jp)
                     cb = (
@@ -713,7 +729,11 @@ class ObstacleShapeOpt:
                         self._admm_kernel_cache, iter_cb=cb,
                         newton_hist_out=newton_hist_out,
                         full_stats_out=full_stats_out,
+                        debug_out=debug_out,
                     )
+                    if debug_out:
+                        for k in ("Lu", "rhs_large", "du"):
+                            debug_out[k] = self._patch_u_to_global(debug_out[k])
                     return dataclasses.replace(st, u=self._patch_u_to_global(st.u))
                 return admm.admm_inner_stepped(
                     a, self._global_ops_builder, (mgdata, X), Jp,
@@ -722,6 +742,7 @@ class ObstacleShapeOpt:
                     self._admm_kernel_cache, iter_cb=iter_cb,
                     newton_hist_out=newton_hist_out,
                     full_stats_out=full_stats_out,
+                    debug_out=debug_out,
                 )
             return self._admm_full(
                 mgdata, X, Jp, sigma, scaling, self._cur_s, self._cur_lam_adj
@@ -738,6 +759,38 @@ class ObstacleShapeOpt:
         )
 
     # ------------------------------------------------------------------
+    def _write_mesh_ugx(self, path: str, X) -> None:
+        """Per-step mesh dump at the CURRENT (deformed) coordinates - the
+        -bDebugOutput SaveGridLevelToFile parity (reference 2d:788)."""
+        from ..core.ugx import SubsetInfo, UgxGrid, write_ugx
+
+        lvl = self.hier.fine
+        coords = np.zeros((lvl.num_vertices, 3))
+        coords[:, : lvl.dim] = np.asarray(X)
+        elems = np.asarray(lvl.elems)
+        empty = np.zeros((0,), np.int32)
+        subsets = {
+            name: SubsetInfo(
+                name=name,
+                vertices=np.nonzero(mask)[0].astype(np.int32),
+                edges=empty, faces=empty, volumes=empty,
+            )
+            for name, mask in lvl.subset_vertices.items()
+        }
+        write_ugx(
+            path,
+            UgxGrid(
+                name="defGrid",
+                coords=coords,
+                edges=np.asarray(lvl.edges),
+                triangles=elems if lvl.dim == 2 else np.zeros((0, 3), np.int32),
+                tetrahedrons=(
+                    elems if lvl.dim == 3 else np.zeros((0, 4), np.int32)
+                ),
+                subsets=subsets,
+            ),
+        )
+
     def initial_state(self, X) -> jnp.ndarray:
         g = nsops.inlet_values(self.ns_space, X)
         return self.ns_space.pack(g, jnp.zeros(self.ns_space.n_pressure))
@@ -767,12 +820,26 @@ class ObstacleShapeOpt:
         prof = profiler if profiler is not None else NULL
         cfg = self.cfg
         num_steps = num_steps if num_steps is not None else cfg.num_steps
+        history: list[StepRecord] = []
+        failures: list[dict] = []
         if resume is not None:
             X = jnp.asarray(resume["X"])
             s = jnp.asarray(resume["s"])
             sigma = float(resume["sigma"])
             drag_old = float(resume["drag_old"])
             start_step = int(resume["step"]) + 1
+            # restore the accepted-step history so telemetry files stay
+            # contiguous across restarts (one __Drag.txt for the whole run)
+            if "history_json" in resume:
+                import json as _json
+
+                for rd in _json.loads(str(resume["history_json"])):
+                    rd["solver_iters"] = tuple(rd.get("solver_iters", ()))
+                    history.append(StepRecord(**rd))
+            if "failures_json" in resume:
+                import json as _json
+
+                failures = _json.loads(str(resume["failures_json"]))
         else:
             X = self.X0
             s0 = self.initial_state(X)
@@ -811,12 +878,31 @@ class ObstacleShapeOpt:
             drag_old = float(self._drag(X, s))
             sigma = cfg.sigma_threshold
             start_step = 0
-        drag_init = drag_old
-        history: list[StepRecord] = []
-        failures: list[dict] = []
+        drag_init = (
+            float(resume["drag_init"])
+            if resume is not None and "drag_init" in resume
+            else drag_old
+        )
+
+        def _vtu(name, coords, fields):
+            if telemetry is None:
+                return
+            from ..io.vtk import write_vtu
+
+            write_vtu(
+                f"{telemetry.out_dir}/{name}.vtu", np.asarray(coords),
+                np.asarray(self.elems),
+                point_data={k: np.asarray(v) for k, v in fields.items()},
+            )
 
         for step in range(start_step, num_steps):
             t0 = time.perf_counter()
+            if cfg.debug_output and telemetry is not None:
+                # SaveGridLevelToFile parity (2d:788): per-step mesh dump
+                self._write_mesh_ugx(
+                    f"{telemetry.out_dir}/Mesh_lev{cfg.num_refs}_step{step}.ugx",
+                    X,
+                )
             with prof.phase("adjoint"):
                 lam_adj, adj_res, adj_iters = self._adjoint(X, s)
             if cfg.debug_nans:
@@ -859,10 +945,13 @@ class ObstacleShapeOpt:
                         [] if (cfg.newton_output and telemetry is not None) else None
                     )
                     full_stats: list = []
+                    debug_out: dict | None = (
+                        {} if (cfg.debug_output and telemetry is not None) else None
+                    )
                     st = self._admm(
                         mgdata, X, Jp, jnp.asarray(sigma), jnp.asarray(scaling),
                         iter_cb=icb, newton_hist_out=newton_hist,
-                        full_stats_out=full_stats,
+                        full_stats_out=full_stats, debug_out=debug_out,
                     )
                     jax.block_until_ready(st.u)
                 if cfg.debug_nans:
@@ -904,6 +993,14 @@ class ObstacleShapeOpt:
                     failures.append(
                         dict(step=step, drag=drag_new, diff=ddiff, sigma=sigma)
                     )
+                    if catalog_failures:
+                        # failed-field VTU (reference 2d:1317-1321: nodal u
+                        # as "u_fail" into failed_flows_step_N_failure)
+                        _vtu(
+                            f"failed_flows_step_{step}_failure_"
+                            f"{len(failures) - 1}",
+                            X, {"u_fail": np.asarray(st.u).T},
+                        )
                     sigma *= 0.5  # revert is implicit: X unchanged
                     if verbose:
                         print(f"step {step}: not a descent ({ddiff:+.3e}), sigma -> {sigma}")
@@ -923,6 +1020,9 @@ class ObstacleShapeOpt:
                     lin_iters=int(st.total_lin_iters),
                     attempts=attempts,
                     wall_time=time.perf_counter() - t0,
+                    solver_iters=tuple(
+                        int(x) for x in np.asarray(st.solver_iters)
+                    ),
                 )
                 history.append(rec)
                 if verbose:
@@ -945,16 +1045,40 @@ class ObstacleShapeOpt:
                         step,
                         {f"c{i}": stats[:, i].tolist() for i in range(stats.shape[1])},
                     )
-                    if newton_hist:
+                    if newton_hist is not None:
+                        # written whenever -bNewtonOutput is set, even when
+                        # the last ADMM iteration applied no Newton rows
+                        # (the reference writes unconditionally, 2d:1256-1259)
                         telemetry.write_newton_stats(step, newton_hist)
                         telemetry.write_newton_iterations(step, newton_hist)
+                    if debug_out:
+                        # -bDebugOutput VTUs (2d:962-1076): last Newton
+                        # iteration's Lu / large-problem RHS / increment
+                        _vtu(f"ConsistentLu_step_{step}", X,
+                             {"up": np.asarray(debug_out["Lu"]).T})
+                        _vtu(f"RHSBigProb_{step}", X,
+                             {"up": np.asarray(debug_out["rhs_large"]).T})
+                        _vtu(f"delta_u_step_{step}", X,
+                             {"u": np.asarray(debug_out["du"]).T})
+                    if cfg.debug_nodal_positions:
+                        # -bDebugNodalPositions (3d:1393-1399): deformed
+                        # nodal coordinates as a vector field
+                        _vtu(f"grid_positions_step_{step}", X,
+                             {"u": np.asarray(X)})
                     steps = [r.step for r in history]
+                    # 2D normalizes the shape-derivative column by
+                    # scaling*sigma (2d:1348); 3D stores it raw (3d:1343)
                     telemetry.write_drag(
                         steps,
                         [r.drag for r in history],
                         [r.drag / drag_init for r in history],
                         [r.drag_diff for r in history],
-                        [r.shape_derivative for r in history],
+                        [
+                            r.shape_derivative / (r.scaling * r.sigma)
+                            if cfg.dim == 2
+                            else r.shape_derivative
+                            for r in history
+                        ],
                     )
                     telemetry.write_iterations(
                         steps,
@@ -962,6 +1086,8 @@ class ObstacleShapeOpt:
                         [r.sigma for r in history],
                         [r.newton_iters for r in history],
                         [r.lin_iters for r in history],
+                        solver_iters=[r.solver_iters for r in history],
+                        dim=cfg.dim,
                     )
                     if failures and catalog_failures:
                         telemetry.write_failures(
@@ -972,6 +1098,8 @@ class ObstacleShapeOpt:
                             [f["sigma"] for f in failures],
                         )
                 if checkpoint_path is not None:
+                    import json as _json
+
                     from ..io.checkpoint import save_checkpoint
 
                     save_checkpoint(
@@ -981,6 +1109,13 @@ class ObstacleShapeOpt:
                         s=s,
                         sigma=sigma,
                         drag_old=drag_old,
+                        extra={
+                            "drag_init": drag_init,
+                            "history_json": _json.dumps(
+                                [dataclasses.asdict(r) for r in history]
+                            ),
+                            "failures_json": _json.dumps(failures),
+                        },
                     )
                 if callback is not None:
                     callback(step, X, s, rec)

@@ -115,6 +115,11 @@ class ADMMState:
     admm_it: jnp.ndarray  # ADMM iteration counter
     total_newton: jnp.ndarray  # accumulated Newton iterations
     total_lin_iters: jnp.ndarray  # accumulated Krylov iterations
+    solver_iters: jnp.ndarray  # (1+m,) accumulated Krylov iterations per
+    # solve slot [rhs, B_vol, B_x, B_y(, B_z)] - the reference's
+    # sum_rhssolver/sum_b*solver counters (2d_admm.lua:1379-1381); its
+    # "large problem" solve is eliminated algebraically here, so that
+    # column is written as 0 by the telemetry layer
     converged: jnp.ndarray  # bool
     failed: jnp.ndarray  # bool (solver failure / max steps)
     u_diff_norm: jnp.ndarray
@@ -136,6 +141,7 @@ class ADMMState:
                 self.admm_it,
                 self.total_newton,
                 self.total_lin_iters,
+                self.solver_iters,
                 self.converged,
                 self.failed,
                 self.u_diff_norm,
@@ -163,6 +169,7 @@ def initial_state(n_vertices, n_elems, dim, m, scaling, max_steps, dtype=jnp.flo
         admm_it=jnp.array(0, jnp.int32),
         total_newton=jnp.array(0, jnp.int32),
         total_lin_iters=jnp.array(0, jnp.int32),
+        solver_iters=jnp.zeros(1 + m, jnp.int32),
         converged=jnp.array(False),
         failed=jnp.array(False),
         u_diff_norm=jnp.asarray(jnp.inf, dtype),
@@ -213,8 +220,15 @@ def newton_xupdate_ops(
     sols0: optional (1+m, ...) warm start for the st/t_i Krylov solves
     (e.g. the previous ADMM iteration's solutions).
 
-    Returns (u, Lambda, newton_iters, lin_iters, failed, sols, hist) where
-    hist is the per-Newton-iteration history (ns_max_its, 4 + 1 + m):
+    Returns (u, Lambda, newton_iters, lin_iters, lin_each, failed, sols,
+    hist, debug_fields) where lin_each is the (1+m,) per-solve-slot Krylov
+    iteration sum [rhs, B_vol, B_x, B_y(, B_z)], debug_fields is the last
+    applied iteration's (Lu, rhs_large, du) field triple - the quantities
+    the reference's -bDebugOutput dumps as ConsistentLu_step_N /
+    RHSBigProb_N / delta_u VTUs (2d_admm.lua:962-1076); rhs_large =
+    -(Lu + B.DeltaLambda) is the RHS of the reference's "large problem"
+    (eliminated algebraically here) - and hist is the per-Newton-iteration
+    history (ns_max_its, 4 + 1 + m):
     [norm_sum, |du|, |DLambda|, |Lu|, rhs_solve_iters, constraint_solve
     iters...] - the rows behind the reference's __NewtonStats_step_N_ /
     __NewtonIterations_step_N_ files (2d_admm.lua:1111-1120, 1256-1259).
@@ -265,13 +279,13 @@ def newton_xupdate_ops(
         return xs, its.astype(jnp.int32), jnp.all(convs)
 
     def cond(state):
-        (u, Lambda, it, lin, done, failed, dlam_norm, lu0, g0, sols_prev,
-         hist) = state
+        (u, Lambda, it, lin, lin_each, done, failed, dlam_norm, lu0, g0,
+         sols_prev, hist, dbg) = state
         return (~done) & (~failed) & (it < cfg.ns_max_its)
 
     def body(state):
-        (u, Lambda, it, lin, done, failed, dlam_prev, lu0, g0, sols_prev,
-         hist) = state
+        (u, Lambda, it, lin, lin_each, done, failed, dlam_prev, lu0, g0,
+         sols_prev, hist, dbg) = state
         # under vmap the loop body runs for ALL lanes until every lane's
         # cond is false; freeze lanes that are already done/failed
         active = (~done) & (~failed)
@@ -302,6 +316,13 @@ def newton_xupdate_ops(
         apply = active & ok
         u_new = jnp.where(apply, (u + du) * free, u)
         Lambda_new = jnp.where(apply, Lambda + dLambda, Lambda)
+        # -bDebugOutput fields (last applied iteration): the pre-update
+        # defect Lu, the eliminated large problem's RHS, and the increment
+        rhs_large = -(Lu + jnp.tensordot(dLambda, B, axes=1)) * free
+        dbg = jax.tree_util.tree_map(
+            lambda new_f, old_f: jnp.where(apply, new_f, old_f),
+            (Lu, rhs_large, du), dbg,
+        )
 
         # convergence (reference 2d:1163-1169): increment / abs / rel norms;
         # the relative test is against the FIRST iteration's norms
@@ -344,16 +365,18 @@ def newton_xupdate_ops(
         hist = jnp.where(apply, hist.at[slot].set(row), hist)
         it = jnp.where(active, it + 1, it)
         lin = jnp.where(active, lin + nlin, lin)
+        lin_each = jnp.where(active, lin_each + its_each, lin_each)
         dlam_norm = jnp.where(apply, dlam_norm, dlam_prev)
         sols_out = jnp.where(apply, sols, sols_prev)
-        return (u_new, Lambda_new, it, lin, done, failed, dlam_norm, lu0, g0,
-                sols_out, hist)
+        return (u_new, Lambda_new, it, lin, lin_each, done, failed, dlam_norm,
+                lu0, g0, sols_out, hist, dbg)
 
     init = (
         u0,
         Lambda0,
         jnp.array(0, jnp.int32),
         jnp.array(0, jnp.int32),
+        jnp.zeros(1 + m, jnp.int32),
         jnp.array(False),
         jnp.array(False),
         jnp.asarray(jnp.inf, u0.dtype),
@@ -361,13 +384,13 @@ def newton_xupdate_ops(
         jnp.asarray(0.0, u0.dtype),
         jnp.zeros((1 + m,) + u0.shape, u0.dtype) if sols0 is None else sols0,
         jnp.zeros((cfg.ns_max_its, n_hist), u0.dtype),
+        (jnp.zeros_like(u0), jnp.zeros_like(u0), jnp.zeros_like(u0)),
     )
-    u, Lambda, it, lin, done, failed, _, _, _, sols, hist = jax.lax.while_loop(
-        cond, body, init
-    )
+    (u, Lambda, it, lin, lin_each, done, failed, _, _, _, sols, hist,
+     dbg) = jax.lax.while_loop(cond, body, init)
     # not converging within ns_max_its counts as failure (reference 2d:1084-1090)
     failed = failed | (~done)
-    return u, Lambda, it, lin, failed, sols, hist
+    return u, Lambda, it, lin, lin_each, failed, sols, hist, dbg
 
 
 def newton_xupdate(
@@ -391,10 +414,11 @@ def newton_xupdate(
     from .spaces import GlobalOps
 
     ops_ = GlobalOps(struct, mgdata, coords, elems, free)
-    return newton_xupdate_ops(
+    r = newton_xupdate_ops(
         cfg, ops_, Jp_base, scaling, lam, q_proj, ref_volume, ref_barycenter,
         u0, Lambda0, extra_hvp=extra_hvp,
-    )[:5]
+    )
+    return r[0], r[1], r[2], r[3], r[5]
 
 
 def admm_inner_ops(
@@ -425,6 +449,7 @@ def admm_inner_ops(
         admm_it=jnp.array(0, jnp.int32),
         total_newton=jnp.array(0, jnp.int32),
         total_lin_iters=jnp.array(0, jnp.int32),
+        solver_iters=jnp.zeros(1 + m, jnp.int32),
         converged=jnp.array(False),
         failed=jnp.array(False),
         u_diff_norm=jnp.asarray(jnp.inf, dtype),
@@ -457,7 +482,8 @@ def admm_inner_ops(
         # measured -18% Newton / -13% Krylov iterations vs a zero restart,
         # identical fixed point.  The st/t_i Krylov solutions also carry
         # (xsols) as warm starts for the next iteration's solves.
-        u, Lambda, nit, nlin, x_failed, xsols_new, _ = newton_xupdate_ops(
+        (u, Lambda, nit, nlin, nlin_each, x_failed, xsols_new, _,
+         _dbg) = newton_xupdate_ops(
             cfg, ops_, Jp_base, st.scaling, st.lam, q_hat,
             ref_volume, ref_barycenter,
             st.u, st.Lambda, extra_hvp=extra_hvp, sols0=xsols,
@@ -509,6 +535,7 @@ def admm_inner_ops(
             admm_it=admm_it,
             total_newton=st.total_newton + nit,
             total_lin_iters=st.total_lin_iters + nlin,
+            solver_iters=st.solver_iters + nlin_each,
             converged=converged,
             failed=failed,
             u_diff_norm=u_diff_norm,
@@ -569,6 +596,7 @@ def admm_inner_stepped(
     iter_cb=None,
     newton_hist_out: list | None = None,
     full_stats_out: list | None = None,
+    debug_out: dict | None = None,
 ):
     """Host-stepped twin of admm_inner_ops: identical algorithm, but the
     ADMM while-loop runs on the host with ONE device execution per ADMM
@@ -583,6 +611,9 @@ def admm_inner_stepped(
     full_stats_out: optional list filled with EVERY ADMM stats row, across
     fake-convergence restarts (the fixed-size ADMMState.stats array only
     keeps the trailing admm_steps rows).
+    debug_out: optional dict filled with the last Newton iteration's
+    (Lu, rhs_large, du) fields under keys "Lu"/"rhs_large"/"du" - the
+    -bDebugOutput VTU payloads (reference 2d_admm.lua:962-1076).
 
     iter_cb(k, u): optional host callback fired after every ADMM iteration
     with the running iteration count k (monotone across fake-convergence
@@ -613,15 +644,16 @@ def admm_inner_stepped(
             else:
                 q_hat = q_proj
             max_norm = ops_.max_grad_norm(u_old, cfg.norm_name)
-            u2, Lambda, nit, nlin, x_failed, xsols2, nhist = newton_xupdate_ops(
+            (u2, Lambda, nit, nlin, nlin_each, x_failed, xsols2, nhist,
+             dbg) = newton_xupdate_ops(
                 cfg, ops_, Jp, scaling, lam, q_hat, ref_volume,
                 ref_barycenter, u, Lambda_in, sols0=xsols,
             )
             lam2, lam_inc = ops_.dual_update(u2, lam, q_hat, cfg.tau)
             u_diff = ops_.norm_p1(u2 - u_old)
             lam_inc_n = ops_.norm_pc(lam_inc)
-            return (u2, lam2, q_proj, Lambda, xsols2, nit, nlin, x_failed,
-                    max_norm, u_diff, lam_inc_n, nhist)
+            return (u2, lam2, q_proj, Lambda, xsols2, nit, nlin, nlin_each,
+                    x_failed, max_norm, u_diff, lam_inc_n, nhist, dbg)
 
         kernel_cache[key] = jax.jit(body)
     body_fn = kernel_cache[key]
@@ -640,23 +672,29 @@ def admm_inner_stepped(
     admm_it = 0
     total_newton = 0
     total_lin = 0
+    import numpy as _np0
+
+    total_lin_each = _np0.zeros(2 + ops_probe.dim, _np0.int64)
     converged = failed = False
     u_diff = lam_inc_n = float("inf")
     max_norm = 0.0
 
     last_nhist = None
     while not converged and not failed and admm_it < cfg.admm_steps:
-        (u, lam, q_proj, Lambda, xsols, nit, nlin, x_failed, max_norm_j,
-         u_diff_j, lam_inc_j, nhist) = body_fn(
+        (u, lam, q_proj, Lambda, xsols, nit, nlin, nlin_each, x_failed,
+         max_norm_j, u_diff_j, lam_inc_j, nhist, dbg_j) = body_fn(
             builder_args, Jp_base, u, u_old, lam, Lambda, xsols,
             jnp.asarray(sigma, dtype), jnp.asarray(scaling, dtype),
         )
         last_nhist = (nhist, int(nit))
+        if debug_out is not None:
+            debug_out["Lu"], debug_out["rhs_large"], debug_out["du"] = dbg_j
         u_old = u
         if iter_cb is not None:
             iter_cb(len(stats_rows), u)
         total_newton += int(nit)
         total_lin += int(nlin)
+        total_lin_each += _np0.asarray(nlin_each)
         max_norm = float(max_norm_j)
         u_diff = float(u_diff_j)
         lam_inc_n = float(lam_inc_j)
@@ -691,7 +729,14 @@ def admm_inner_stepped(
         import numpy as _np
 
         nh, nit_last = last_nhist
-        newton_hist_out[:] = _np.asarray(nh)[:nit_last].tolist()
+        rows = _np.asarray(nh)[:nit_last]
+        # nit counts ACTIVE iterations but a row is stored only when the
+        # update was APPLIED (a final failed Krylov solve leaves an all-zero
+        # trailing row): drop trailing zero rows so the file holds exactly
+        # the applied iterations (reference semantics, 2d:1111-1120)
+        while len(rows) and not rows[-1].any():
+            rows = rows[:-1]
+        newton_hist_out[:] = rows.tolist()
     if full_stats_out is not None:
         full_stats_out[:] = [list(r) for r in stats_rows]
     stats = jnp.zeros((cfg.admm_steps, 6), dtype)
@@ -708,6 +753,7 @@ def admm_inner_stepped(
         admm_it=jnp.asarray(admm_it, jnp.int32),
         total_newton=jnp.asarray(total_newton, jnp.int32),
         total_lin_iters=jnp.asarray(total_lin, jnp.int32),
+        solver_iters=jnp.asarray(total_lin_each, jnp.int32),
         converged=jnp.asarray(converged),
         failed=jnp.asarray(failed),
         u_diff_norm=jnp.asarray(u_diff, dtype),

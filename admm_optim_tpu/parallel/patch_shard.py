@@ -324,6 +324,7 @@ class ShardedPatchMG:
         return admm_mod.ADMMState(
             u=fs, u_old=fs, lam=ts, q_proj=ts, Lambda=rep, scaling=rep,
             admm_it=rep, total_newton=rep, total_lin_iters=rep,
+            solver_iters=rep,
             converged=rep, failed=rep, u_diff_norm=rep, lam_inc_norm=rep,
             max_grad_norm=rep, stats=rep,
         )

@@ -38,6 +38,8 @@ GRID = os.environ.get(
     "REF2D_GRID", "/root/reference/grids/refined.ugx"
 )
 
+from admm_optim_tpu.io.checkpoint import load_checkpoint
+from admm_optim_tpu.io.resume import resumable_run
 from admm_optim_tpu.io.telemetry import TelemetryWriter
 from admm_optim_tpu.models.obstacle import (
     ObstacleShapeOpt,
@@ -53,10 +55,19 @@ cfg = ProblemConfig(
 )
 if not ON_CPU:
     cfg = f32_presets(cfg)
-model = ObstacleShapeOpt(cfg)
 tw = TelemetryWriter(OUT)
+ckpt = os.path.join(OUT, "checkpoint.npz")
+# REF2D_RESUME=1: pick up an existing checkpoint from a previous process
+resume0 = (
+    load_checkpoint(ckpt)
+    if os.environ.get("REF2D_RESUME") == "1" and os.path.exists(ckpt)
+    else None
+)
 t0 = time.perf_counter()
-hist = model.run(num_steps=STEPS, verbose=True, telemetry=tw)
+hist = resumable_run(
+    lambda: ObstacleShapeOpt(cfg), ckpt, max_restarts=20, resume=resume0,
+    num_steps=STEPS, verbose=True, telemetry=tw,
+)
 wall = time.perf_counter() - t0
 
 drags = np.array([r.drag for r in hist])

@@ -33,6 +33,8 @@ GRID = os.environ.get(
     "REF3D_GRID", "/root/reference/grids/box_3D_elongated.ugx"
 )
 
+from admm_optim_tpu.io.checkpoint import load_checkpoint
+from admm_optim_tpu.io.resume import resumable_run
 from admm_optim_tpu.io.telemetry import TelemetryWriter
 from admm_optim_tpu.models.obstacle import (
     ObstacleShapeOpt,
@@ -40,6 +42,7 @@ from admm_optim_tpu.models.obstacle import (
     f32_presets,
 )
 from admm_optim_tpu.optim import admm
+from admm_optim_tpu.utils.profiling import Profiler
 
 cfg = ProblemConfig(
     dim=3, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
@@ -48,11 +51,23 @@ cfg = ProblemConfig(
 )
 if not ON_CPU:
     cfg = f32_presets(cfg)
-model = ObstacleShapeOpt(cfg)
 tw = TelemetryWriter(OUT)
+ckpt = os.path.join(OUT, "checkpoint.npz")
+# REF3D_RESUME=1: pick up an existing checkpoint from a previous process
+resume0 = (
+    load_checkpoint(ckpt)
+    if os.environ.get("REF3D_RESUME") == "1" and os.path.exists(ckpt)
+    else None
+)
+prof = Profiler() if os.environ.get("REF3D_PROFILE") == "1" else None
 t0 = time.perf_counter()
-hist = model.run(num_steps=STEPS, verbose=True, telemetry=tw)
+hist = resumable_run(
+    lambda: ObstacleShapeOpt(cfg), ckpt, max_restarts=20, resume=resume0,
+    num_steps=STEPS, verbose=True, telemetry=tw, profiler=prof,
+)
 wall = time.perf_counter() - t0
+if prof is not None:
+    print(prof.report())
 
 drags = np.array([r.drag for r in hist])
 print(f"steps accepted: {len(hist)}/{STEPS} wall {wall:.0f}s")

@@ -228,3 +228,39 @@ def test_stepped_driver_matches_monolithic_and_reports_iterates(setup):
     np.testing.assert_allclose(
         np.asarray(st.u), np.asarray(st_ref.u), rtol=0, atol=1e-8
     )
+
+
+def test_solver_iteration_accounting_and_debug_fields(setup):
+    """Per-solve-slot Krylov sums (the reference's sum_rhssolver/sum_b*solver
+    counters, 2d:1379-1381) are carried by both ADMM drivers and sum to the
+    total; the stepped driver exposes the -bDebugOutput field triple."""
+    hier, lvl, space, cfg, struct, mgdata, coords, elems, free, ref_vol, ref_bary, Jp = setup
+    st = admm.admm_inner(
+        cfg, struct, mgdata, coords, elems, free, Jp,
+        jnp.asarray(0.3), jnp.asarray(1.0), ref_vol, ref_bary,
+    )
+    d = coords.shape[1]
+    si = np.asarray(st.solver_iters)
+    assert si.shape == (2 + d,)  # rhs + (1+d) constraint solves
+    assert int(si.sum()) == int(st.total_lin_iters)
+    assert int(si[0]) > 0  # the rhs solve always iterates
+
+    from admm_optim_tpu.optim.spaces import GlobalOps
+
+    def builder(mgdata_, coords_):
+        return GlobalOps(struct, mgdata_, coords_, elems, free)
+
+    dbg = {}
+    st2 = admm.admm_inner_stepped(
+        cfg, builder, (mgdata, coords), Jp, 0.3, 1.0, ref_vol, ref_bary,
+        {}, debug_out=dbg,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st2.solver_iters), np.asarray(st.solver_iters)
+    )
+    # debug fields: Lu is the last PRE-update defect, du the last increment,
+    # rhs_large = -(Lu + B.dLambda); at convergence |Lu| and |du| are small
+    for k in ("Lu", "rhs_large", "du"):
+        assert dbg[k].shape == st2.u.shape
+        assert np.all(np.isfinite(np.asarray(dbg[k])))
+    assert float(jnp.linalg.norm(dbg["du"])) < 1e-2

@@ -98,3 +98,29 @@ def test_ugx_roundtrip(tmp_path):
         np.testing.assert_array_equal(
             lvl2.subset_vertices[name], lvl.subset_vertices[name]
         )
+
+
+def test_iterations_per_solver_columns(tmp_path):
+    """__Iterations_per_step.txt per-solver columns: 2D layout has 10 columns
+    (2d_admm.lua:1383-1384), 3D has 9 (3d_admm.lua:1416-1417); the Large
+    column (eliminated solve) is 0."""
+    t = TelemetryWriter(str(tmp_path))
+    t.write_iterations(
+        [0, 1], [5, 6], [0.3, 0.15], [12, 14], [100, 120],
+        solver_iters=[(40, 20, 20, 20), (48, 24, 24, 24)], dim=2,
+    )
+    rows = (tmp_path / "__Iterations_per_step.txt").read_text().strip().splitlines()
+    assert rows[0].split("\t") == [
+        "0", "5", "0.3", "12", "100", "40", "20", "20", "20", "0"
+    ]
+    t3 = TelemetryWriter(str(tmp_path / "d3"))
+    t3.write_iterations(
+        [0], [2], [0.3], [7], [50],
+        solver_iters=[(10, 10, 10, 10, 10)], dim=3,
+    )
+    rows3 = (tmp_path / "d3" / "__Iterations_per_step.txt").read_text().strip().splitlines()
+    assert rows3[0].split("\t") == [
+        "0", "7", "50", "10", "10", "10", "10", "10", "0"
+    ]
+    t.close()
+    t3.close()
