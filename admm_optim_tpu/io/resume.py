@@ -48,11 +48,15 @@ def resumable_run(
         except Exception as e:  # noqa: BLE001 - tunnel faults surface as
             # various XlaRuntimeError/RuntimeError subclasses
             attempt += 1
-            if attempt > max_restarts or not os.path.exists(checkpoint_path):
+            if attempt > max_restarts:
                 raise
+            has_ckpt = os.path.exists(checkpoint_path)
             print(
                 f"[resumable_run] run failed ({type(e).__name__}: {e}); "
-                f"restart {attempt}/{max_restarts} from {checkpoint_path}"
+                f"restart {attempt}/{max_restarts} "
+                + (f"from {checkpoint_path}" if has_ckpt else "from scratch")
             )
             time.sleep(restart_delay_s)
-            resume = load_checkpoint(checkpoint_path)
+            # no checkpoint yet (fault during the cold start): retry from
+            # scratch rather than giving up - the tunnel recovers
+            resume = load_checkpoint(checkpoint_path) if has_ckpt else None

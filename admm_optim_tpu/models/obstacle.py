@@ -242,8 +242,12 @@ class ObstacleShapeOpt:
 
             self.pre_ps = _bps(pre_hier, dirichlet=ns_dir)
             # smoother_w="f32": the NS preconditioner is transposed via
-            # jax.vjp for the adjoint solve (transpose_M), and the bf16
-            # pencil-major Pallas smoother kernel has no AD rule
+            # jax.vjp for the adjoint solve (transpose_M).  The pencil
+            # kernel DOES carry a custom vjp now (pallas_stencil.apply_w_pc
+            # differentiates in x), so this is a precision choice, not an
+            # AD limitation: the conv-diff velocity block is nonsymmetric
+            # and its bf16-rounded transpose has not been validated against
+            # the adjointness check that killed the hand-built surrogates
             self._pre_struct_p = _pmg_ns.PatchMGStructure(
                 self.pre_ps, pre_smooth=2, post_smooth=2, smoother="jacobi",
                 smoother_w="f32",

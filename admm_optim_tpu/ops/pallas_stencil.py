@@ -25,7 +25,8 @@ once (standard revisited-output reduction pattern).
 
 Dispatch contract (ops.patchstencil.apply_w): kernels here cover the 3D
 lattices only - slot-major full/sym (`usable`), pencil-contiguous
-(`usable_pc`), and the DF sym variant (`usable_df`).  **2D lattices always
+(dispatched by the explicit patchstencil.PencilW layout tag), and the DF
+sym variant (`usable_df`).  **2D lattices always
 take the XLA apply path**: at 2D sizes (the largest 2D level in the tree
 is ~66k sites at refs=5 on refined.ugx) the stencil is 9-slot/2-channel
 and the XLA form's full-lattice windows fit comfortably in cache-resident
@@ -370,16 +371,6 @@ def to_pencil_major(ps, W, dtype=None):
             jnp.transpose(blk, (2, 3, 0, 1, 4, 5)).astype(dtype)
         )
     return out
-
-
-def usable_pc(ps, W_pc, x) -> bool:
-    if not ENABLED or ps.dim != 3:
-        return False
-    if W_pc.ndim != 7 or W_pc.shape[2] != len(ps.stencil):
-        return False
-    if x.shape[1] < 16:
-        return False
-    return jax.default_backend() == "tpu"
 
 
 def transpose_pc(stencil, W_pc):

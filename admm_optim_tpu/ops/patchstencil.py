@@ -280,9 +280,33 @@ def stencil_diag(ps: PatchSet, level: int, W):
     return W[0][jnp.arange(C), jnp.arange(C)]
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class PencilW:
+    """Explicit layout tag for pencil-major stencil storage
+    (n0, n1, O, C, C, n2, P; pallas_stencil.to_pencil_major).  apply_w
+    dispatches on THIS TYPE, not on axis-size sniffing - a slot-major W
+    whose axis sizes happen to line up can never misdispatch (a looser
+    shape test once did, breaking jax.vjp through the NS transpose_M)."""
+
+    a: jnp.ndarray
+
+    def tree_flatten(self):
+        return ((self.a,), None)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def dtype(self):
+        return self.a.dtype
+
+
 def apply_w(ps: PatchSet, W, x):
     """Additive operator application: x consistent (C, *lat, P) ->
-    y additive (C, *lat, P); W slot-major (O, C, C, *lat, P).
+    y additive (C, *lat, P); W slot-major (O, C, C, *lat, P), or a
+    PencilW-tagged pencil-major array (the bf16 smoother stream).
 
     One zero-pad of x turns every stencil offset into a FULL-shape slice;
     the O windows are stacked and ALL slots contract in one broadcast
@@ -304,20 +328,10 @@ def apply_w(ps: PatchSet, W, x):
     streams each slot block once."""
     from . import pallas_stencil
 
-    if (
-        W.ndim == 7
-        and x.ndim == 5
-        and W.shape[:2] == x.shape[1:3]  # (n0, n1)
-        and W.shape[2] == len(ps.stencil)  # O
-        and W.shape[3] == W.shape[4] == x.shape[0]  # (C, C)
-        and W.shape[5:] == x.shape[3:]  # (n2, P)
-    ):
-        # pencil-major (n0, n1, O, C, C, n2, P) layout (TPU-only storage
-        # for the bf16 smoother stream; see pallas_stencil.to_pencil_major).
-        # The axis-by-axis match is deliberate: a looser test misdispatched
-        # the NS velocity conv-diff stencil (slot-major) into the Pallas
-        # kernel, which also broke jax.vjp through transpose_M.
-        return pallas_stencil.apply_w_pc(ps, W, x)
+    if isinstance(W, PencilW):
+        # pencil-major (n0, n1, O, C, C, n2, P) layout, tagged explicitly
+        # at build time (patch_mg.assemble wraps to_pencil_major output)
+        return pallas_stencil.apply_w_pc(ps, W.a, x)
     if pallas_stencil.usable(ps, W, x):
         return pallas_stencil.apply_w_pallas(ps, W, x)
     if W.shape[0] != len(ps.stencil):
@@ -464,20 +478,26 @@ def apply_w_df(ps: PatchSet, W, xh, xl):
     if pallas_stencil.usable_df(ps, W, xh):
         yh, yl = pallas_stencil.apply_w_df_pallas(ps, W, xh, xl)
         return df.barrier_pair(yh, yl)
+    if W.shape[0] != len(ps.stencil):
+        # sym storage on the XLA fallback: EXPAND to full slots first.
+        # The sym-specific XLA form (shifted-transpose contraction) loses
+        # its EFT compensation when the whole expression compiles as one
+        # XLA:CPU computation - measured 2.4e-8 value accuracy under jit
+        # vs 1.1e-14 op-by-op, with optimization barriers at every seam
+        # unable to restore it (the degradation sat cg_ir_p at ~3e-7
+        # instead of 1e-9).  The full-stencil form is jit-exact, and this
+        # path only runs where the Pallas DF kernel is unavailable
+        # (non-TPU backends and 2D lattices), so the 2x W traffic is off
+        # the production hot path.
+        W = expand_sym_w(ps, W)
     rc = _df_row_chunk(xh, ps.dim)
     if rc is not None:
-        inner = (
-            _apply_w_df_sym
-            if W.shape[0] != len(ps.stencil)
-            else _apply_w_df_full
-        )
-        return _apply_w_df_rows(ps, W, xh, xl, rc, inner)
+        return _apply_w_df_rows(ps, W, xh, xl, rc, _apply_w_df_full)
     return _apply_w_df_full(ps, W, xh, xl)
 
 
 def _apply_w_df_full(ps: PatchSet, W, xh, xl):
-    if W.shape[0] != len(ps.stencil):
-        return _apply_w_df_sym(ps, W, xh, xl)
+    assert W.shape[0] == len(ps.stencil), "sym W must be expanded upstream"
     dim = ps.dim
     lat = xh.shape[1 : 1 + dim]
     C = W.shape[1]
@@ -518,67 +538,6 @@ def _apply_w_df_full(ps: PatchSet, W, xh, xl):
             lo = e + w[:, d] * xl_o[d][None]
             acc_h, t = df.two_sum(acc_h, p)
             acc_l = acc_l + t + lo
-    s, e = df.two_sum(acc_h, acc_l)
-    s, e = df.barrier_pair(s, e)
-    return s.reshape(xh.shape), e.reshape(xh.shape)
-
-
-def _apply_w_df_sym(ps: PatchSet, W, xh, xl):
-    """apply_w_df for symmetric half-stencil storage: direct halves as in
-    apply_w_df; each missing slot's contribution is the compensated
-    transpose contraction z = sum_c two_prod(W[o][c, :], x[c]) folded as a
-    DF pair, SHIFTED by -o (static zero-fill slices are error-free), then
-    two_sum-merged into the accumulator."""
-    dim = ps.dim
-    lat = xh.shape[1 : 1 + dim]
-    C = W.shape[1]
-    kept = half_slots(ps)
-    H = len(kept)
-    pad = [(0, 0)] + [(1, 1)] * dim + [(0, 0)]
-    xhp = jnp.pad(xh, pad)
-    xlp = jnp.pad(xl, pad)
-
-    def window(h):
-        o = ps.stencil[kept[h]]
-        sl = (
-            (slice(None),)
-            + tuple(slice(1 + int(oo), 1 + int(oo) + n) for oo, n in zip(o, lat))
-            + (slice(None),)
-        )
-        return xhp[sl].reshape(C, -1), xlp[sl].reshape(C, -1)
-
-    S = xh[0].size
-    xfh = xh.reshape(C, -1)
-    xfl = xl.reshape(C, -1)
-    Wf = W.reshape(H, C, C, -1)  # (H, C, D, S)
-    lat_shape = (C,) + tuple(lat) + xh.shape[-1:]
-
-    acc_h = jnp.zeros((C, S), xh.dtype)
-    acc_l = acc_h
-    for h in range(H):
-        w = Wf[h]  # (C, D, S)
-        xh_o, xl_o = window(h)
-        # direct half: y[c] += sum_d w[c, d] * x[d, s+o]
-        for d in range(C):
-            p, e = df.two_prod(w[:, d], xh_o[d][None])
-            lo = e + w[:, d] * xl_o[d][None]
-            acc_h, t = df.two_sum(acc_h, p)
-            acc_l = acc_l + t + lo
-        if h == 0:
-            continue
-        # transpose half: z[d, s] = sum_c w[c, d, s] * x[c, s], shifted -o
-        zh = jnp.zeros((C, S), xh.dtype)
-        zl = zh
-        for c in range(C):
-            p, e = df.two_prod(w[c], xfh[c][None])
-            lo = e + w[c] * xfl[c][None]
-            zh, t = df.two_sum(zh, p)
-            zl = zl + t + lo
-        o = [-int(v) for v in ps.stencil[kept[h]]]
-        zh = shift_read(zh.reshape(lat_shape), o, lat_axes_offset=1).reshape(C, S)
-        zl = shift_read(zl.reshape(lat_shape), o, lat_axes_offset=1).reshape(C, S)
-        acc_h, t = df.two_sum(acc_h, zh)
-        acc_l = acc_l + t + zl
     s, e = df.two_sum(acc_h, acc_l)
     s, e = df.barrier_pair(s, e)
     return s.reshape(xh.shape), e.reshape(xh.shape)

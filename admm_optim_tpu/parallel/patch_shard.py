@@ -55,6 +55,10 @@ class ShardedPatchMG:
     mesh: Mesh
     axis: str
     P_orig: int = 0  # pre-padding patch count (pvalid boundary)
+    # dtype the MG data will be assembled in: data_specs' smoother-W plan
+    # must be computed with the SAME dtype assemble_patch_mg_p sees, or the
+    # sharding-spec pytree can mismatch the assembled PatchMGData structure
+    data_dtype: Any = jnp.float32
 
     @property
     def spmd(self) -> st.SpmdCtx:
@@ -153,8 +157,9 @@ class ShardedPatchMG:
         lmax = [P() for _ in self.ps.levels]
         tabs = [self.table_specs(l) for l in range(len(self.ps.levels))]
         # bf16 pencil-major smoother stencils (TPU only): (n0,n1,O,C,C,n2,P)
-        # sharded on the trailing patch axis like W
-        plan = pmg.smoother_w_plan(self.struct, self.ps, jnp.float32)
+        # sharded on the trailing patch axis like W; the spec is a pytree
+        # PREFIX (one P covers the PencilW-wrapped leaf)
+        plan = pmg.smoother_w_plan(self.struct, self.ps, self.data_dtype)
         W_sm = None
         if plan is not None:
             W_sm = [
@@ -167,8 +172,9 @@ class ShardedPatchMG:
 
     # ---- placement ----------------------------------------------------------
 
-    def make_tables(self, dtype=jnp.float32):
+    def make_tables(self, dtype=None):
         """Device tables placed according to table_specs."""
+        dtype = self.data_dtype if dtype is None else dtype
         tabs = pmg.make_level_tables(self.ps, dtype, nshards=self.n_shards)
         out = []
         for l, tab in enumerate(tabs):
@@ -396,6 +402,7 @@ def build_sharded_mg(
     post_smooth: int = 3,
     cheb_lower: float = 0.25,
     replicate_below: int = 0,
+    data_dtype=jnp.float32,
 ) -> ShardedPatchMG:
     """Pad P to the axis size and wire up the spmd MG structure.
 
@@ -417,5 +424,6 @@ def build_sharded_mg(
         replicate_below=replicate_below,
     )
     return ShardedPatchMG(
-        ps=ps_pad, struct=struct, mesh=mesh, axis=axis, P_orig=ps.P
+        ps=ps_pad, struct=struct, mesh=mesh, axis=axis, P_orig=ps.P,
+        data_dtype=data_dtype,
     )

@@ -37,8 +37,14 @@ class NewtonConfig:
     # iterations (every Newton step burned the cap, outer |R| frozen at
     # 2.9e-2) while restart=200 converged the same solve in 3 Newton
     # iterations / 57 s.  Memory: the flexible basis stores 2*(restart+1)
-    # state-sized vectors - lower this for >5M-dof NS states.
+    # state-sized vectors, so the EFFECTIVE restart is clamped from the
+    # state size against lin_basis_budget_bytes (_restart_len) - a 200-long
+    # basis on a >5M-dof state would otherwise be a multi-GB allocation.
     lin_restart: int = 200
+    # memory budget for the FGMRES basis (2*(restart+1) state vectors);
+    # ~4 GB leaves headroom next to the assembled Jacobian blocks on a
+    # 16 GB v5e
+    lin_basis_budget_bytes: float = 4e9
     lin_max_iters: int = 600
     # inexact-Newton forcing term: 1e-2 keeps the superlinear outer
     # trajectory (the abs floor tied to accept_tol supplies the final
@@ -51,6 +57,16 @@ class NewtonConfig:
     # inherits its linear residual directly, so it keeps a tight tolerance
     # independent of lin_rel_tol
     adj_rel_tol: float = 1e-11
+
+
+def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
+                 mult: int = 1) -> int:
+    """FGMRES restart length bounded by the basis memory budget (the
+    flexible basis stores 2*(restart+1) state-sized vectors).  Floor of 30
+    keeps the solver functional even when the budget is exceeded - at that
+    point the basis is ~the size of a handful of states and unavoidable."""
+    cap = int(cfg.lin_basis_budget_bytes // max(2 * n_state * itemsize, 1)) - 1
+    return max(30, min(mult * cfg.lin_restart, cap))
 
 
 def newton_solve(
@@ -94,7 +110,7 @@ def newton_solve(
             Jv,
             -r,
             M=M_builder(s) if M_builder is not None else M,
-            restart=cfg.lin_restart,
+            restart=_restart_len(cfg, r.size, r.dtype.itemsize),
             max_iters=cfg.lin_max_iters,
             # absolute floor tied to the Newton acceptance threshold: the
             # linear residual caps the reachable nonlinear residual, so a
@@ -208,7 +224,7 @@ def newton_solve_stepped(
                 Jv,
                 -r,
                 M=Mx,
-                restart=cfg.lin_restart,
+                restart=_restart_len(cfg, r.size, r.dtype.itemsize),
                 max_iters=cfg.lin_max_iters,
                 abs_tol=max(cfg.lin_abs_tol, 0.1 * cfg.accept_tol),
                 rel_tol=cfg.lin_rel_tol,
@@ -302,7 +318,7 @@ def adjoint_solve(
         -gJ,
         x0=x0,
         M=M,
-        restart=2 * cfg.lin_restart,
+        restart=_restart_len(cfg, gJ.size, gJ.dtype.itemsize, mult=2),
         max_iters=4 * cfg.lin_max_iters,
         abs_tol=tol,
         rel_tol=0.0,

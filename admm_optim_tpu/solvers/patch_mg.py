@@ -293,25 +293,40 @@ def assemble_patch_mg_p(
         from ..ops import pallas_stencil as pst
 
         W_sm = [
-            pst.to_pencil_major(ps, W, jnp.bfloat16) if on else None
+            st.PencilW(pst.to_pencil_major(ps, W, jnp.bfloat16))
+            if on
+            else None
             for on, W in zip(plan, W_l)
         ]
     return PatchMGData(W_l, invd_l, lmax_l, base_inv, tabs, W_sm)
 
 
+# minimum lattice edge for the bf16 smoother stream (below this the W
+# streaming win is dominated by kernel-launch overhead); module-level so
+# tests can lower it and drive the stream at CPU-interpret sizes
+SMOOTHER_STREAM_MIN_LAT = 9
+
+
+def _smoother_stream_on() -> bool:
+    """Backend gate for the bf16 pencil-major smoother stream.  Separate
+    function so the CPU test lane can monkeypatch it and exercise the
+    production stream through the interpret-mode kernel (the stream is
+    otherwise TPU-only and would have zero CI coverage)."""
+    return jax.default_backend() == "tpu"
+
+
 def smoother_w_plan(struct: PatchMGStructure, ps: PatchSet, dtype):
     """Which levels carry a bf16 pencil-major smoother stencil (None =
     feature off).  Shared by assembly and parallel.patch_shard.data_specs
-    so the sharded pytree specs match the assembled data structure.
-    lat >= 9 is where W streaming dominates over kernel-launch overhead."""
+    so the sharded pytree specs match the assembled data structure."""
     if not (
         struct.smoother_w == "auto"
         and ps.dim == 3
-        and jax.default_backend() == "tpu"
+        and _smoother_stream_on()
         and dtype == jnp.float32
     ):
         return None
-    plan = [min(lvl.lat_shape) >= 9 for lvl in ps.levels]
+    plan = [min(lvl.lat_shape) >= SMOOTHER_STREAM_MIN_LAT for lvl in ps.levels]
     return plan if any(plan) else None
 
 

@@ -207,3 +207,127 @@ def test_exchange_df_spmd_matches():
     )
     np.testing.assert_array_equal(np.asarray(ref_h), np.asarray(got_h))
     np.testing.assert_array_equal(np.asarray(ref_l), np.asarray(got_l))
+
+
+@pytest.mark.slow
+def test_bf16_smoother_stream_interpret_mode(monkeypatch):
+    """The PRODUCTION bf16 pencil-major smoother stream (smoother_w='auto')
+    driven through the interpret-mode kernel on CPU: the stream is
+    otherwise TPU-gated and had zero CI coverage (advisor r2).  Forcing the
+    gate on must (a) actually build PencilW-tagged W_sm entries, (b) keep
+    the V-cycle contracting, and (c) keep cg_ir_p reaching a true 1e-8
+    residual - bf16 weight rounding only perturbs the preconditioner, not
+    the f32 A-applies or the DF residuals."""
+    from admm_optim_tpu.ops import sparsity
+    from admm_optim_tpu.ops.deformation import deformation_elem_mats
+    from admm_optim_tpu.ops.p1space import P1VectorSpace
+
+    monkeypatch.setattr(patch_mg, "_smoother_stream_on", lambda: True)
+    # 5 = this fixture's FINE lattice only: production (lat >= 9) streams
+    # bf16 on the traffic-dominant fine levels while coarse levels stay
+    # f32 - enabling it on the tiny coarse grids too (e.g. threshold 4)
+    # perturbs the coarse corrections enough that CG-IR stalls at ~2e-6,
+    # a configuration the production plan never builds
+    monkeypatch.setattr(patch_mg, "SMOOTHER_STREAM_MIN_LAT", 5)
+
+    dim, refs = 3, 2
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords, jnp.float32)
+    space = P1VectorSpace.build(hier)
+    pat0 = space.patterns[0]
+    fixed0 = np.asarray(space.fixed[0])
+
+    def base_dense_fn(coords0):
+        em0 = deformation_elem_mats(
+            coords0, jnp.asarray(hier.levels[0].elems), 1.0, 1.0, 1.0
+        )
+        v0 = sparsity.assemble_values(pat0, em0)
+        v0 = sparsity.bake_dirichlet(pat0, v0, jnp.asarray(fixed0))
+        return jnp.linalg.inv(sparsity.to_dense(pat0, v0).astype(jnp.float32))
+
+    struct = patch_mg.PatchMGStructure(ps)  # smoother_w="auto" (default)
+    assert patch_mg.smoother_w_plan(struct, ps, jnp.float32) is not None
+    tabs = patch_mg.make_level_tables(ps, jnp.float32)
+    data = patch_mg.assemble_patch_mg(
+        ps, struct, coords,
+        lambda c: deformation_corner_mats(c, 1.0, 1.0, 1.0),
+        base_dense_fn, tabs=tabs, sym=True,
+    )
+    # (a) the stream was actually built, tagged, and is bf16
+    assert data.W_sm is not None
+    fine_sm = data.W_sm[ps.k]
+    assert isinstance(fine_sm, st.PencilW)
+    assert fine_sm.dtype == jnp.bfloat16
+
+    lvl = ps.fine
+    rng = np.random.default_rng(5)
+    bg = jnp.asarray(rng.normal(size=(dim, fine.num_vertices)), jnp.float32)
+    bg = bg * space.free_mask().astype(jnp.float32)
+    b = st.to_patch(lvl, bg)
+
+    # (b) one V-cycle contracts the residual
+    x1 = patch_mg.vcycle_p(struct, data, b)
+    tabs64 = patch_mg.make_level_tables(ps, jnp.float64)
+    W64 = data.W[ps.k].astype(jnp.float64)
+
+    def true_rel_res(x, xlo=None):
+        # evaluate DF pairs in f64 WITHOUT collapsing to f32 first
+        x64 = x.astype(jnp.float64)
+        if xlo is not None:
+            x64 = x64 + xlo.astype(jnp.float64)
+        y = st.exchange_sum(None, st.apply_w(ps, W64, x64), tabs64[ps.k])
+        free = tabs64[ps.k].free
+        r = (b.astype(jnp.float64) - y) * free[None]
+        rn = float(jnp.sqrt(st.owner_dot(None, r, r, tabs64[ps.k])))
+        bn = float(
+            jnp.sqrt(
+                st.owner_dot(
+                    None, b.astype(jnp.float64), b.astype(jnp.float64),
+                    tabs64[ps.k],
+                )
+            )
+        )
+        return rn / bn
+
+    assert true_rel_res(x1) < 0.5
+
+    # (c) full mixed-precision solve still reaches 1e-8 true residual
+    res = patch_mg.cg_ir_p(struct, data, b, rel_tol=1e-9, max_rounds=8,
+                           inner_rel=1e-4, inner_iters=60)
+    assert bool(res.converged)
+    assert true_rel_res(res.x_hi, res.x_lo) < 2e-9
+
+
+def test_apply_w_df_sym_jit_exact():
+    """Regression: the DF apply with SYM-stored W must keep its compensation
+    UNDER JIT on the XLA fallback path.  The old sym-specific shifted-
+    transpose form silently degraded to plain-f32 accuracy when compiled as
+    one XLA:CPU computation (2.4e-8 vs 1.1e-14 value accuracy; barriers at
+    every seam could not restore it), stalling cg_ir_p at ~3e-7 - the fix
+    expands sym storage to full slots before the XLA DF form."""
+    dim, refs = 3, 1
+    hier = _hier(dim, refs)
+    ps = build_patchset(hier)
+    fine = hier.fine
+    coords = jnp.asarray(fine.coords, jnp.float32)
+    tabs = patch_mg.make_level_tables(ps, jnp.float32)
+    coords_p = st.to_patch(ps.fine, coords.T)
+    free = tabs[ps.k].free.astype(jnp.float32)
+    W_sym = st.assemble_w(
+        ps, ps.k, coords_p, lambda c: deformation_corner_mats(c, 1.0, 1.0, 1.0),
+        sym=True,
+    )
+    W_sym = st.bake_dirichlet_w(ps, ps.k, W_sym, free=free)
+    rng = np.random.default_rng(0)
+    xg = rng.normal(size=(dim, fine.num_vertices))
+    xh = st.to_patch(ps.fine, jnp.asarray(xg, jnp.float32))
+    xl = st.to_patch(ps.fine, jnp.asarray(xg, jnp.float32)) * 1e-8
+    x64 = xh.astype(jnp.float64) + xl.astype(jnp.float64)
+    y64 = st.apply_w(ps, st.expand_sym_w(ps, W_sym).astype(jnp.float64), x64)
+    scale = float(jnp.max(jnp.abs(y64)))
+
+    yh, yl = jax.jit(lambda a, b: st.apply_w_df(ps, W_sym, a, b))(xh, xl)
+    yv = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    assert float(jnp.max(jnp.abs(yv - y64))) / scale < 1e-11
