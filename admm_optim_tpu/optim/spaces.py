@@ -59,6 +59,14 @@ class GlobalOps:
     def dot(self, x, y):
         return jnp.vdot(x, y)
 
+    def dot_batch(self, Xs, Ys):
+        """(i, ...) x (j, ...) -> (i, j) Gram block in ONE pass over memory
+        (the Schur assembly needs m*(1+m) pairings; 20 separate dots re-read
+        the operands 40 times)."""
+        Xf = Xs.reshape(Xs.shape[0], -1)
+        Yf = Ys.reshape(Ys.shape[0], -1)
+        return Xf @ Yf.T
+
     def constraints(self, u, ref_volume, ref_barycenter):
         return dfm.constraints(self.coords, self.elems, u, ref_volume, ref_barycenter)
 
@@ -171,6 +179,14 @@ class PatchOps:
 
     def dot(self, x, y):
         return pst.owner_dot(None, x, y, self.tab, spmd=self.spmd)
+
+    def dot_batch(self, Xs, Ys):
+        """Owner-weighted (i, j) Gram block in one pass (see GlobalOps).
+        owner is (lat..., P) and broadcasts over the component axis."""
+        w = self.tab.owner.astype(Xs.dtype)
+        Xf = (Xs * w[None]).reshape(Xs.shape[0], -1)
+        Yf = Ys.reshape(Ys.shape[0], -1)
+        return self._psum(Xf @ Yf.T)
 
     def _cons(self, x_add):
         """additive -> consistent + free mask."""

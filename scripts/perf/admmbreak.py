@@ -103,23 +103,39 @@ m = 1 + dim
 Lmb = jnp.asarray(rng.normal(size=(m,)), coords.dtype) * 0.1
 
 
-def chain(f, x0, r=REPS):
-    """Time f chained r times in one jit; returns per-call seconds."""
+def chain(make_f, x0, r=REPS):
+    """Time the op r times inside one jit; the big pytrees (data, coords_p)
+    are jit ARGUMENTS, not closure constants - closed-over refs=4 stencils
+    blow the remote-compile upload limit (HTTP 413).  make_f(ops) -> f(x)."""
 
     @jax.jit
-    def run(x):
-        def body(i, x):
-            y = f(x)
-            # keep it a fixed-point-shaped chain: rescale to x's magnitude
-            s = 1.0 / (1.0 + jnp.sqrt(jnp.vdot(y, y).real))
-            return y * s.astype(y.dtype)
+    def run(data_, coords_p_, aux, x):
+        ops_in = PatchOps(struct, data_, coords_p_)
+        f = make_f(ops_in, data_, aux)
 
-        return jax.lax.fori_loop(0, r, body, x)
+        def body(i, tok):
+            tok = jax.lax.optimization_barrier(tok)
+            xi = jax.tree_util.tree_map(
+                lambda a: a + jnp.zeros((), a.dtype) * tok.astype(a.dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating)
+                else a,
+                x,
+            )
+            y = f(xi)
+            s = sum(
+                jnp.sum(jnp.abs(l)).astype(jnp.float32)
+                for l in jax.tree_util.tree_leaves(y)
+                if jnp.issubdtype(l.dtype, jnp.floating)
+            )
+            return tok + s * jnp.float32(1e-30)
 
-    y = run(x0)
+        return jax.lax.fori_loop(0, r, body, jnp.float32(0.0))
+
+    aux = dict(u=u, lam=lam, Lmb=Lmb, ref_vol=ref_vol, ref_bary=ref_bary)
+    y = run(data, coords_p, aux, x0)
     jax.block_until_ready(y)
     t0 = time.perf_counter()
-    y = run(x0)
+    y = run(data, coords_p, aux, x0)
     jax.block_until_ready(y)
     return (time.perf_counter() - t0) / r
 
@@ -127,37 +143,41 @@ def chain(f, x0, r=REPS):
 rows = []
 
 
-def phase(name, f, x0):
-    dt = chain(f, x0)
+def phase(name, make_f, x0):
+    try:
+        dt = chain(make_f, x0)
+    except Exception as e:  # noqa: BLE001
+        log(f"{name:>24}: FAILED {e!r}")
+        return
     rows.append((name, dt))
     log(f"{name:>24}: {dt * 1e3:8.2f} ms")
 
 
-phase("z_update(prox)", lambda x: ops_.z_update(u, x, 1.0, 0.3, "frobenius"), lam)
-phase("grad_tensor", lambda x: ops_.grad_tensor(x), u)
-phase("A_apply", lambda x: ops_.A(x), u)
-phase("constraint_grads[B]", lambda x: ops_.constraint_grads(x, ref_vol, ref_bary)[0], u)
-phase(
-    "constraint_hvp",
-    lambda x: ops_.constraint_hvp(u, Lmb, ref_vol, ref_bary, x),
-    u,
-)
-phase("vcycle", lambda x: patch_mg.vcycle_p(struct, data, x), u)
-phase("tensor_rhs", lambda t: ops_.tensor_rhs(t)[0][None] * 0 + ops_.tensor_rhs(t), lam)
-phase("dual_update", lambda x: ops_.dual_update(x, lam, lam, 1.0)[0], u)
-phase("dot", lambda x: x * ops_.dot(x, u).astype(x.dtype), u)
-phase("max_grad_norm", lambda x: x * ops_.max_grad_norm(x, "frobenius").astype(x.dtype), u)
-
-
-def one_solve(b):
-    res = krylov.bicgstab(
-        lambda x: ops_.A(x) + ops_.constraint_hvp(u, Lmb, ref_vol, ref_bary, x),
-        b, M=ops_.M, max_iters=40, abs_tol=1e-7, rel_tol=1e-5, dot=ops_.dot,
-    )
-    return res.x
-
-
-phase("H_solve(40it cap)", one_solve, Jp)
+phase("z_update(prox)",
+      lambda o, d, a: (lambda x: o.z_update(a["u"], x, 1.0, 0.3, "frobenius")),
+      lam)
+phase("grad_tensor", lambda o, d, a: o.grad_tensor, u)
+phase("A_apply", lambda o, d, a: o.A, u)
+phase("constraint_grads[B]",
+      lambda o, d, a: (lambda x: o.constraint_grads(x, a["ref_vol"], a["ref_bary"])),
+      u)
+phase("constraint_hvp",
+      lambda o, d, a: (lambda x: o.constraint_hvp(a["u"], a["Lmb"], a["ref_vol"], a["ref_bary"], x)),
+      u)
+phase("vcycle", lambda o, d, a: (lambda x: patch_mg.vcycle_p(struct, d, x)), u)
+phase("tensor_rhs", lambda o, d, a: o.tensor_rhs, lam)
+phase("dual_update",
+      lambda o, d, a: (lambda x: o.dual_update(x, a["lam"], a["lam"], 1.0)[0]),
+      u)
+phase("dot", lambda o, d, a: (lambda x: o.dot(x, a["u"])), u)
+phase("max_grad_norm",
+      lambda o, d, a: (lambda x: o.max_grad_norm(x, "frobenius")), u)
+phase("H_solve(40it cap)",
+      lambda o, d, a: (lambda b: krylov.bicgstab(
+          lambda x: o.A(x) + o.constraint_hvp(a["u"], a["Lmb"], a["ref_vol"], a["ref_bary"], x),
+          b, M=o.M, max_iters=40, abs_tol=1e-7, rel_tol=1e-5, dot=o.dot,
+      ).x),
+      Jp)
 
 # full ADMM iteration (K=1, 2-Newton x-update like the bench record)
 for seq in (False, True):
@@ -168,18 +188,19 @@ for seq in (False, True):
     )
 
     @jax.jit
-    def run_admm(Jp_):
+    def run_admm(data_, coords_p_, Jp_):
         stt = admm.admm_inner_ops(
-            cfg, ops_, Jp_, jnp.asarray(0.3, coords.dtype),
+            cfg, PatchOps(struct, data_, coords_p_), Jp_,
+            jnp.asarray(0.3, coords.dtype),
             jnp.asarray(1.0, coords.dtype), ref_vol, ref_bary,
         )
         return stt.total_lin_iters, jnp.sum(stt.u)
 
     try:
-        it, s = run_admm(Jp)
+        it, s = run_admm(data, coords_p, Jp)
         float(s)
         t0 = time.perf_counter()
-        it, s = run_admm(Jp)
+        it, s = run_admm(data, coords_p, Jp)
         float(s)
         dt = time.perf_counter() - t0
         log(

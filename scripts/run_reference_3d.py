@@ -44,6 +44,47 @@ from admm_optim_tpu.models.obstacle import (
 from admm_optim_tpu.optim import admm
 from admm_optim_tpu.utils.profiling import Profiler
 
+# establish the device client BEFORE the (minutes-long) host-side mesh/space
+# construction: a first device touch that lands in a tunnel outage poisons
+# the whole process, so fail fast here where the supervisor retry is cheap
+import jax.numpy as _jnp
+
+_t0 = time.perf_counter()
+_probe = jax.jit(lambda x: x + 1.0)(_jnp.ones((8,), _jnp.float32))
+assert float(_probe[0]) == 2.0
+print(f"device client up ({jax.devices()[0].platform}, "
+      f"{time.perf_counter() - _t0:.1f}s)", flush=True)
+
+
+def _cached_hier(grid, refs):
+    """Pickle-cache the refinement hierarchy (pure-host numpy): rebuilt
+    hierarchies cost ~10 host-minutes per supervisor attempt at refs=2 on
+    this 1-core machine, which is exactly the window a flapping tunnel
+    exploits."""
+    import hashlib
+    import pickle
+
+    from admm_optim_tpu.core.mesh import Hierarchy
+
+    cdir = os.path.expanduser("~/.cache/jax_admm")
+    os.makedirs(cdir, exist_ok=True)
+    key = hashlib.sha1(f"{grid}:{refs}".encode()).hexdigest()[:12]
+    path = os.path.join(cdir, f"ref3d_hier_{key}.pkl")
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                return pickle.load(f)
+        except Exception as e:  # noqa: BLE001
+            print(f"hier cache unreadable ({e!r}); rebuilding", flush=True)
+    h = Hierarchy.from_ugx(grid, refs)
+    try:
+        with open(path + ".tmp", "wb") as f:
+            pickle.dump(h, f)
+        os.replace(path + ".tmp", path)
+    except Exception as e:  # noqa: BLE001
+        print(f"hier cache write failed ({e!r})", flush=True)
+    return h
+
 cfg = ProblemConfig(
     dim=3, num_refs=REFS, grid_path=GRID, visc=VISC, backend="global",
     admm=admm.ADMMConfig(admm_steps=40, ns_max_its=8, tau=2.0,
@@ -61,8 +102,19 @@ resume0 = (
 )
 prof = Profiler() if os.environ.get("REF3D_PROFILE") == "1" else None
 t0 = time.perf_counter()
+
+
+def _build():
+    tb = time.perf_counter()
+    hier = _cached_hier(GRID, REFS)
+    print(f"hierarchy ready ({time.perf_counter() - tb:.1f}s)", flush=True)
+    m = ObstacleShapeOpt(cfg, hier=hier)
+    print(f"model built ({time.perf_counter() - tb:.1f}s)", flush=True)
+    return m
+
+
 hist = resumable_run(
-    lambda: ObstacleShapeOpt(cfg), ckpt, max_restarts=20, resume=resume0,
+    _build, ckpt, max_restarts=20, resume=resume0,
     num_steps=STEPS, verbose=True, telemetry=tw, profiler=prof,
 )
 wall = time.perf_counter() - t0

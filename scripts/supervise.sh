@@ -8,19 +8,45 @@
 # checkpoint back up via REF2D_RESUME/REF3D_RESUME=1 and write one
 # contiguous telemetry history across all restarts.
 #
+# Between attempts it waits for the tunnel to actually serve a tiny
+# fetch (SUPERVISE_PREFLIGHT=0 disables): the remote worker takes
+# minutes to recycle after a crash, and relaunching into a mid-restart
+# worker just burns an attempt on another connect-time crash.
+#
 # Usage: scripts/supervise.sh <max_restarts> <cmd...>
 # e.g.:  REF3D_TPU=1 REF3D_RESUME=1 scripts/supervise.sh 20 \
-#          python scripts/run_reference_3d.py 12 2 0.02 /path/out
+#          timeout 5400 python -u scripts/run_reference_3d.py 12 2 0.02 /path/out
 set -u
 MAX=$1; shift
+
+preflight() {
+  [ "${SUPERVISE_PREFLIGHT:-1}" = "0" ] && return 0
+  local i
+  for i in $(seq 1 20); do
+    if timeout 120 python -c "
+import jax, jax.numpy as jnp
+y = jax.jit(lambda x: x + 1.0)(jnp.ones((8,)))
+assert float(y[0]) == 2.0" >/dev/null 2>&1; then
+      echo "[supervise] tunnel preflight ok (probe $i)" >&2
+      return 0
+    fi
+    echo "[supervise] tunnel preflight failed (probe $i/20); waiting 60s" >&2
+    sleep 60
+  done
+  echo "[supervise] tunnel never came up; launching anyway" >&2
+  return 0
+}
+
 n=0
 while true; do
+  preflight
   "$@" && exit 0
+  rc=$?
   n=$((n + 1))
   if [ "$n" -gt "$MAX" ]; then
     echo "[supervise] giving up after $n failures" >&2
     exit 1
   fi
-  echo "[supervise] attempt $n/$MAX failed (rc=$?); relaunching in 15s" >&2
-  sleep 15
+  echo "[supervise] attempt $n/$MAX failed (rc=$rc); relaunching" >&2
+  sleep 30
 done
