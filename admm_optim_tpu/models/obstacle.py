@@ -583,6 +583,75 @@ class ObstacleShapeOpt:
 
         self._adjoint_pre = jax.jit(_adjoint_impl)
 
+        # host-chunked adjoint for large problems: ONE FGMRES restart cycle
+        # per device execution (the monolithic adjoint runs its full
+        # 800-plus-iteration solve in a single multi-minute execution, which
+        # the TPU tunnel kills the same way it kills the monolithic forward
+        # steps - see newton_solve_stepped's lin_cycle)
+        def _adj_cycle_impl(X, s, x, target, m_args):
+            MT = ns_solver.transpose_M(
+                lambda r: _M_fn(r, *m_args), self.ns_space.n_state, X.dtype
+            )
+
+            def R(ss):
+                return nsops.ns_residual(self.ns_space, X, ss, cfg.visc, cfg.stab)
+
+            if self.use_ns_jac:
+                W = m_args[-1]
+                Jt = lambda v: self._ns_jtv(v, W)
+            else:
+                _, vjp = jax.vjp(R, s)
+                Jt = lambda v: vjp(v)[0]
+            gJ = jax.grad(
+                lambda ss: nsops.drag(self.ns_space, X, ss, cfg.visc)
+            )(s)
+            from ..solvers.krylov import gmres as _gmres
+            from ..solvers.ns_solver import _restart_len as _rl
+
+            rl = _rl(cfg.ns, s.size, s.dtype.itemsize, mult=2)
+            res = _gmres(
+                Jt, -gJ, x0=x, M=MT, restart=rl, max_iters=rl,
+                abs_tol=target, rel_tol=0.0,
+            )
+            return res.x, res.res_norm, res.iters
+
+        self._adj_cycle = jax.jit(_adj_cycle_impl)
+        self._adj_gj_norm = jax.jit(
+            lambda X, s: jnp.linalg.norm(
+                jax.grad(
+                    lambda ss: nsops.drag(self.ns_space, X, ss, cfg.visc)
+                )(s)
+            )
+        )
+
+        def _adjoint_stepped(X, s, lam0):
+            from ..solvers.ns_solver import _restart_len as _rl
+
+            ncfg = cfg.ns
+            target = float(
+                max(
+                    ncfg.lin_abs_tol,
+                    ncfg.adj_rel_tol * float(self._adj_gj_norm(X, s)),
+                )
+            )
+            m_args = _ns_pre(X, s=s)
+            if self.use_ns_jac:
+                m_args = m_args + (self._ns_jac_jit(X, s, cfg.visc),)
+            rl = _rl(ncfg, int(s.size), s.dtype.itemsize, mult=2)
+            x = lam0
+            total = 0
+            rn = jnp.asarray(jnp.inf, s.dtype)
+            while total < 4 * ncfg.lin_max_iters:
+                x, rn, k = self._adj_cycle(
+                    X, s, x, jnp.asarray(target, s.dtype), m_args
+                )
+                total += int(k)
+                if float(rn) <= target or int(k) < rl:
+                    break
+            return x, rn, jnp.asarray(total, jnp.int32)
+
+        self._adjoint_stepped_fn = _adjoint_stepped
+
         # host-stepped Newton for large problems: monolithic Newton programs
         # (130+ MB code, multi-minute single executions) are unreliable
         # through the TPU tunnel and compile minutes-slow
@@ -632,6 +701,8 @@ class ObstacleShapeOpt:
                 if self._cur_lam_adj is not None
                 else jnp.zeros_like(s)
             )
+            if self._ns_stepped:
+                return self._adjoint_stepped_fn(X, s, lam0)
             return self._adjoint_pre(X, s, lam0)
 
         self._ns_solve = _ns_solve
@@ -875,8 +946,15 @@ class ObstacleShapeOpt:
             conv = jnp.asarray(True)
             while i < len(nus):
                 nu = nus[i]
+                t_rung = time.perf_counter()
                 s_try, it, nrm, conv = self._ns_solve(X, s, visc=nu)
                 if bool(conv):
+                    if verbose:
+                        print(
+                            f"continuation: nu={nu:.4f} newton={int(it)} "
+                            f"|R|={float(nrm):.2e} "
+                            f"[{time.perf_counter() - t_rung:.0f}s]"
+                        )
                     s, nu_ok = s_try, nu
                     i += 1
                     continue

@@ -304,6 +304,68 @@ def _kernel_pc(stencil, n2, kept_xidx, *refs):
         y_ref[c, 0, 0] = acc[c]
 
 
+def _kernel_pc_b(stencil, n2, kept_xidx, *refs):
+    """Batched twin of _kernel_pc: x/y blocks carry a leading size-1 batch
+    axis; the grid's innermost dimension iterates lanes with the W block's
+    index map IGNORING it, so Mosaic keeps the (multi-MB) W block resident
+    in VMEM across all B lanes - W streams from HBM once per pencil instead
+    of once per (pencil, lane).  This is the multi-rhs amortization the
+    x-update's (1+m) simultaneous solves need (jax.vmap of the plain
+    kernel re-streams W per lane: measured 3.9x a single V-cycle at B=5)."""
+    n_x = len(kept_xidx)
+    x_refs = refs[:n_x]
+    w_ref = refs[n_x]
+    y_ref = refs[n_x + 1]
+    xpos = {k: i for i, k in enumerate(kept_xidx)}
+    C = y_ref.shape[1]
+
+    acc = [None] * C
+    for oi, o in enumerate(stencil):
+        o0, o1, o2 = (int(v) for v in o)
+        xr = x_refs[xpos[(o0 + 1, o1 + 1)]]
+        for d in range(C):
+            xs = xr[0, d, 0, 0, pl.ds(1 + o2, n2), :]  # (n2, P)
+            for c in range(C):
+                w = w_ref[0, 0, oi, c, d].astype(xs.dtype)
+                t = w * xs
+                acc[c] = t if acc[c] is None else acc[c] + t
+    for c in range(C):
+        y_ref[0, c, 0, 0] = acc[c]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def _apply_w_pallas_3d_pc_batched(stencil, W_pc, xb, interpret=False):
+    """Batched pencil apply: xb (B, C, n0, n1, n2, P) -> (B, C, n0, n1,
+    n2, P), W_pc as in _apply_w_pallas_3d_pc.  Grid (n0, n1, B) with B
+    innermost; see _kernel_pc_b."""
+    n0, n1, O, C, _, n2, P = W_pc.shape
+    B = xb.shape[0]
+    xp = jnp.pad(xb, [(0, 0), (0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
+    kept = sorted({(int(o[0]) + 1, int(o[1]) + 1) for o in stencil})
+    x_specs = [
+        pl.BlockSpec(
+            (1, C, 1, 1, n2 + 2, P),
+            functools.partial(
+                lambda di, dj, i, j, b: (b, 0, i + di, j + dj, 0, 0), di, dj
+            ),
+        )
+        for (di, dj) in kept
+    ]
+    w_spec = pl.BlockSpec(
+        (1, 1, O, C, C, n2, P), lambda i, j, b: (i, j, 0, 0, 0, 0, 0)
+    )
+    y_spec = pl.BlockSpec((1, C, 1, 1, n2, P), lambda i, j, b: (b, 0, i, j, 0, 0))
+    kern = functools.partial(_kernel_pc_b, stencil, n2, tuple(kept))
+    return pl.pallas_call(
+        kern,
+        grid=(n0, n1, B),
+        in_specs=[*x_specs, w_spec],
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((B, C, n0, n1, n2, P), xb.dtype),
+        interpret=interpret,
+    )(*([xp] * len(kept)), W_pc)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 3))
 def _apply_w_pallas_3d_pc(stencil, W_pc, x, interpret=False):
     """W_pc: (n0, n1, O, C, C, n2, P) pencil-major full stencil (see

@@ -303,6 +303,48 @@ class PencilW:
         return self.a.dtype
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _pencil_apply_fn(stencil):
+    """custom_vmap-wrapped pencil apply for one stencil signature: the
+    unbatched call runs the plain kernel; a vmap over x runs the batched
+    kernel (W streamed once across lanes; pallas_stencil._kernel_pc_b)."""
+    from . import pallas_stencil
+
+    @jax.custom_batching.custom_vmap
+    def f(W_pc, x):
+        interp = jax.default_backend() != "tpu"
+        return pallas_stencil._apply_w_pallas_3d_pc(
+            stencil, W_pc, x, interpret=interp
+        )
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, W_pc, x):
+        w_b, x_b = in_batched
+        interp = jax.default_backend() != "tpu"
+        if w_b or not x_b:
+            # batched W (not produced anywhere) -> per-lane fallback
+            xb = x if x_b else jnp.broadcast_to(x, (axis_size,) + x.shape)
+            Wb = W_pc if w_b else jnp.broadcast_to(
+                W_pc, (axis_size,) + W_pc.shape
+            )
+            y = jax.lax.map(
+                lambda args: pallas_stencil._apply_w_pallas_3d_pc(
+                    stencil, args[0], args[1], interpret=interp
+                ),
+                (Wb, xb),
+            )
+            return y, True
+        y = pallas_stencil._apply_w_pallas_3d_pc_batched(
+            stencil, W_pc, x, interpret=interp
+        )
+        return y, True
+
+    return f
+
+
 def apply_w(ps: PatchSet, W, x):
     """Additive operator application: x consistent (C, *lat, P) ->
     y additive (C, *lat, P); W slot-major (O, C, C, *lat, P), or a
@@ -330,8 +372,16 @@ def apply_w(ps: PatchSet, W, x):
 
     if isinstance(W, PencilW):
         # pencil-major (n0, n1, O, C, C, n2, P) layout, tagged explicitly
-        # at build time (patch_mg.assemble wraps to_pencil_major output)
-        return pallas_stencil.apply_w_pc(ps, W.a, x)
+        # at build time (patch_mg.assemble wraps to_pencil_major output).
+        # custom_vmap: under jax.vmap (the x-update's (1+m) simultaneous
+        # solves) dispatch to the BATCHED pencil kernel, which streams the
+        # W block once per pencil for all lanes instead of once per lane.
+        # No AD rule on this path - the smoother stream is never
+        # differentiated (the NS preconditioner that IS vjp-transposed
+        # uses smoother_w="f32"); direct AD users call
+        # pallas_stencil.apply_w_pc, which carries the custom vjp.
+        stencil = tuple(tuple(int(v) for v in o) for o in ps.stencil)
+        return _pencil_apply_fn(stencil)(W.a, x)
     if pallas_stencil.usable(ps, W, x):
         return pallas_stencil.apply_w_pallas(ps, W, x)
     if W.shape[0] != len(ps.stencil):

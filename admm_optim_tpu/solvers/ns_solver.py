@@ -199,20 +199,18 @@ def newton_solve_stepped(
     default_M = M_fn is None
     use_jac = jv_fn is not None and (jac_builder is not None or jv_from_m)
     cache = step_jit_cache if step_jit_cache is not None else {}
-    key = ("newton_step", id(space), stab, cfg, default_M, use_jac, jv_from_m)
+    key = ("newton_step_v2", id(space), stab, cfg, default_M, use_jac, jv_from_m)
 
     if key not in cache:
 
-        def step(coords, s, visc, nrm, m_args):
+        def _wiring(coords, s, visc, m_args):
             def R(ss):
                 return nsops.ns_residual(space, coords, ss, visc, stab)
 
             if default_M:
-                diag_M = nsops.diag_preconditioner(space, coords, visc)
-                Mx = diag_M
+                Mx = nsops.diag_preconditioner(space, coords, visc)
             else:
                 Mx = lambda x: M_fn(x, *m_args)
-            r = R(s)
             if use_jac:
                 jac_args = (
                     m_args[-1] if jv_from_m else jac_builder(coords, s, visc)
@@ -220,20 +218,33 @@ def newton_solve_stepped(
                 Jv = lambda x: jv_fn(x, jac_args)
             else:
                 Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
+            return R, Jv, Mx
+
+        def lin_cycle(coords, s, visc, x, target, m_args):
+            """ONE FGMRES restart cycle continuing from x.  The full
+            cfg.lin_max_iters solve used to run inside a single device
+            execution; at the reference viscosity on 3D refs=2 that is a
+            multi-minute execution, which the TPU tunnel reproducibly
+            KILLS (worker 'crashed or restarted' at the nu=0.02 rung,
+            rungs >= 0.04 fine).  One restart cycle is seconds; the host
+            loops cycles - identical arithmetic (a restart boundary is a
+            restart boundary), bounded executions."""
+            R, Jv, Mx = _wiring(coords, s, visc, m_args)
+            rl = _restart_len(cfg, s.size, s.dtype.itemsize)
             res = gmres(
-                Jv,
-                -r,
-                M=Mx,
-                restart=_restart_len(cfg, r.size, r.dtype.itemsize),
-                max_iters=cfg.lin_max_iters,
-                abs_tol=max(cfg.lin_abs_tol, 0.1 * cfg.accept_tol),
-                rel_tol=cfg.lin_rel_tol,
+                Jv, -R(s), x0=x, M=Mx, restart=rl, max_iters=rl,
+                abs_tol=target, rel_tol=0.0,
             )
+            return res.x, res.res_norm, res.iters
+
+        def ls_step(coords, s, visc, delta, nrm):
+            def R(ss):
+                return nsops.ns_residual(space, coords, ss, visc, stab)
 
             def ls_body(k, carry):
                 best_s, best_nrm = carry
                 lam = cfg.line_search_reduce**k
-                s_try = s + lam * res.x
+                s_try = s + lam * delta
                 rt = R(s_try)
                 nrm_t = jnp.sqrt(jnp.vdot(rt, rt))
                 better = nrm_t < best_nrm
@@ -242,30 +253,40 @@ def newton_solve_stepped(
                     jnp.where(better, nrm_t, best_nrm),
                 )
 
-            s_new, nrm_new = jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, cfg.line_search_steps, ls_body, (s, nrm)
             )
-            return s_new, nrm_new, res.iters
 
         def resnorm(coords, s, visc):
             r = nsops.ns_residual(space, coords, s, visc, stab)
             return jnp.sqrt(jnp.vdot(r, r))
 
-        cache[key] = (jax.jit(step), jax.jit(resnorm))
-    step_fn, resnorm_fn = cache[key]
+        cache[key] = (jax.jit(lin_cycle), jax.jit(ls_step), jax.jit(resnorm))
+    cycle_fn, ls_fn, resnorm_fn = cache[key]
 
+    rl = _restart_len(cfg, s0.size, s0.dtype.itemsize)
     nrm = float(resnorm_fn(coords, s0, visc))
     s = s0
     it = 0
     while nrm > cfg.abs_tol and it < cfg.max_iters:
         if pre_fn is not None and it > 0:
             m_args = pre_fn(s)
-        s_new, nrm_new, lin_its = step_fn(
-            coords, s, visc, jnp.asarray(nrm, s0.dtype), m_args
-        )
+        # inexact-Newton target fixed from THIS iterate's residual
+        target = max(cfg.lin_abs_tol, 0.1 * cfg.accept_tol,
+                     cfg.lin_rel_tol * nrm)
+        x = jnp.zeros_like(s)
+        lin_its = 0
+        while lin_its < cfg.lin_max_iters:
+            x, rn, k = cycle_fn(
+                coords, s, visc, x, jnp.asarray(target, s0.dtype), m_args
+            )
+            lin_its += int(k)
+            if float(rn) <= target or int(k) < rl:
+                break
+        s_new, nrm_new = ls_fn(coords, s, visc, x, jnp.asarray(nrm, s0.dtype))
         nrm_new = float(nrm_new)
         if verbose:
-            print(f"  newton {it}: |R| {nrm:.3e} -> {nrm_new:.3e} ({int(lin_its)} lin)")
+            print(f"  newton {it}: |R| {nrm:.3e} -> {nrm_new:.3e} ({lin_its} lin)")
         stalled = nrm_new >= nrm * (1.0 - 1e-14)
         s, nrm = s_new, nrm_new
         it += 1
