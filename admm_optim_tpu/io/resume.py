@@ -47,6 +47,9 @@ def resumable_run(
             raise
         except Exception as e:  # noqa: BLE001 - tunnel faults surface as
             # various XlaRuntimeError/RuntimeError subclasses
+            import traceback
+
+            traceback.print_exc()
             attempt += 1
             if attempt > max_restarts:
                 raise

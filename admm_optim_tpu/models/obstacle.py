@@ -974,6 +974,19 @@ class ObstacleShapeOpt:
             drag_old = float(self._drag(X, s))
             sigma = cfg.sigma_threshold
             start_step = 0
+            if checkpoint_path is not None:
+                # checkpoint the POST-LADDER state as "step -1": the cold
+                # viscosity continuation is the longest uncheckpointed
+                # prefix (~10 min at 3D refs=2), and a device fault there
+                # would otherwise re-pay it on every resume
+                from ..io.checkpoint import save_checkpoint as _sc
+
+                _sc(
+                    checkpoint_path, step=-1, X=X, s=s, sigma=sigma,
+                    drag_old=drag_old,
+                    extra={"drag_init": drag_old, "history_json": "[]",
+                           "failures_json": "[]"},
+                )
         drag_init = (
             float(resume["drag_init"])
             if resume is not None and "drag_init" in resume
