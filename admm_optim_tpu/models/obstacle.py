@@ -608,7 +608,10 @@ class ObstacleShapeOpt:
             from ..solvers.krylov import gmres as _gmres
             from ..solvers.ns_solver import _restart_len as _rl
 
-            rl = _rl(cfg.ns, s.size, s.dtype.itemsize, mult=2)
+            rl = min(
+                _rl(cfg.ns, s.size, s.dtype.itemsize, mult=2),
+                cfg.ns.adj_exec_restart,
+            )
             res = _gmres(
                 Jt, -gJ, x0=x, M=MT, restart=rl, max_iters=rl,
                 abs_tol=target, rel_tol=0.0,
@@ -637,7 +640,10 @@ class ObstacleShapeOpt:
             m_args = _ns_pre(X, s=s)
             if self.use_ns_jac:
                 m_args = m_args + (self._ns_jac_jit(X, s, cfg.visc),)
-            rl = _rl(ncfg, int(s.size), s.dtype.itemsize, mult=2)
+            rl = min(
+                _rl(ncfg, int(s.size), s.dtype.itemsize, mult=2),
+                ncfg.adj_exec_restart,
+            )
             x = lam0
             total = 0
             rn = jnp.asarray(jnp.inf, s.dtype)

@@ -57,6 +57,14 @@ class NewtonConfig:
     # inherits its linear residual directly, so it keeps a tight tolerance
     # independent of lin_rel_tol
     adj_rel_tol: float = 1e-11
+    # per-execution iteration bound for the HOST-CHUNKED adjoint (large
+    # problems): one restart cycle = one device execution, and a 400-long
+    # cycle on 3D refs=2 is a ~minute-plus execution that the TPU tunnel
+    # reproducibly kills mid-run (the forward solve's 200-cycles at ~20 s
+    # survive).  Shorter restarts trade some Krylov-space breadth for
+    # bounded executions; the exact transposed preconditioner keeps the
+    # iteration count low enough that this is affordable.
+    adj_exec_restart: int = 100
 
 
 def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
