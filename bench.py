@@ -289,10 +289,14 @@ def admm_throughput(num_refs, ctx):
         admm_steps=K, admm_tolerance=0.0,  # run all K iterations
         tau=1.0, ns_max_its=2, ns_tol=1e-4,
         lin_max_iters=40, lin_abs_tol=1e-7, lin_rel_tol=1e-5,
-        # refs>=4: sequence the (1+m) x-update solves - the vmapped form's
-        # peak working set (1+m concurrent V-cycles) OOMs next to the
-        # resident refs=4 stencils (docs/ROADMAP.md layout-pathology note)
-        xsolve_sequential=num_refs >= 4,
+        # measured refs=4 (docs/ROADMAP.md round-3): CG on the symmetric
+        # KKT Hessian runs 3.10 s/iter vs BiCGStab's 4.03 (89 vs 57 its at
+        # half the applies/iter), and the VMAPPED solves with the batched
+        # pencil smoother (W streamed once across the 1+m lanes) beat the
+        # sequential form; the r2 OOM that forced sequencing was the AD
+        # constraint temporaries, gone since the analytic cofactor forms
+        x_solver="cg",
+        xsolve_sequential=False,
     )
     coords_p = st.to_patch(ps.fine, jnp.asarray(coords).T)
     ops_ = PatchOps(struct, data, coords_p)
