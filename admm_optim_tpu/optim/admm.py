@@ -250,22 +250,30 @@ def newton_xupdate_ops(
 
     r_lin = scaling * Jp_base * free + ops_.tensor_rhs(lam - cfg.tau * q_proj)
 
-    def hess_apply(u, Lambda, x):
-        hx = ops_.A(x) + ops_.constraint_hvp(u, Lambda, ref_volume, ref_barycenter, x)
-        if extra_hvp is not None:
-            hx = hx + extra_hvp(x * free) * free
-        return hx
+    def make_hess_apply(u, Lambda):
+        # (u, Lambda)-dependent HVP state precomputed ONCE per Newton
+        # iterate (ops_.hvp_fn) - the HVP runs at every Krylov matvec
+        hvp = ops_.hvp_fn(u, Lambda, ref_volume, ref_barycenter)
+
+        def hess_apply(x):
+            hx = ops_.A(x) + hvp(x)
+            if extra_hvp is not None:
+                hx = hx + extra_hvp(x * free) * free
+            return hx
+
+        return hess_apply
 
     def solve_h(u, Lambda, rhs_batch, x0_batch):
         """Batched SPD-ish solves H x = b, warm-started from the previous
         Newton iteration's solutions (H and the B_i change slowly between
         iterates, so the old st/t_i are good initial guesses; the absolute
         tolerance target is unchanged)."""
+        hess_apply = make_hess_apply(u, Lambda)
 
         def one(b, x0):
             solver = krylov.cg if cfg.x_solver == "cg" else krylov.bicgstab
             res = solver(
-                lambda x: hess_apply(u, Lambda, x),
+                hess_apply,
                 b,
                 x0=x0,
                 M=ops_.M,

@@ -84,6 +84,15 @@ class GlobalOps:
             * self.free
         )
 
+    def hvp_fn(self, u, Lmbda, ref_volume, ref_barycenter):
+        """x -> (sum_k Lambda_k g_k'') x at the FIXED Newton iterate.  The
+        patch adapter precomputes the (u, Lambda)-dependent cell state here
+        (the HVP runs at every Krylov matvec); the global form has no
+        comparable separable precompute, so it just closes over."""
+        return lambda x: self.constraint_hvp(
+            u, Lmbda, ref_volume, ref_barycenter, x
+        )
+
     def tensor_rhs(self, M):
         return dfm.tensor_rhs(self.coords, self.elems, M) * self.free
 
@@ -220,6 +229,19 @@ class PatchOps:
             x * self.free, pvalid=self.pvalid,
         )
         return self._cons(h)
+
+    def hvp_fn(self, u, Lmbda, ref_volume, ref_barycenter):
+        state = pdfm.hvp_state_p(
+            self.ps, self.coords_p, u, Lmbda, pvalid=self.pvalid
+        )
+
+        def apply(x):
+            h = pdfm.constraint_hvp_apply_p(
+                self.ps, self.coords_p, state, x * self.free
+            )
+            return self._cons(h)
+
+        return apply
 
     def tensor_rhs(self, M):
         return self._cons(pdfm.tensor_rhs_p(self.ps, self.coords_p, M))
