@@ -1086,7 +1086,9 @@ class ObstacleShapeOpt:
                             print(f"step {step}: ADMM failed, sigma -> {sigma}")
                     continue
                 X_new = X + st.u.T
-                if float(self._min_det(X_new)) <= 0.0:
+                with prof.phase("min_det"):
+                    tangled = float(self._min_det(X_new)) <= 0.0
+                if tangled:
                     sigma *= 0.5
                     if verbose:
                         print(f"step {step}: mesh tangled, sigma -> {sigma}")
@@ -1100,7 +1102,8 @@ class ObstacleShapeOpt:
                     if verbose:
                         print(f"step {step}: NS diverged ({float(nnrm):.2e}), sigma -> {sigma}")
                     continue
-                drag_new = float(self._drag(X_new, s_new))
+                with prof.phase("drag"):
+                    drag_new = float(self._drag(X_new, s_new))
                 shape_deriv = float(st.scaling * jnp.vdot(Jp, st.u))
                 ddiff = drag_new - drag_old
                 # descent test (reference 2d:1300-1306)
@@ -1234,6 +1237,11 @@ class ObstacleShapeOpt:
                     )
                 if callback is not None:
                     callback(step, X, s, rec)
+                if profiler is not None and verbose:
+                    # cumulative phase breakdown after every accepted step:
+                    # a killed process keeps the profile in its log (the
+                    # end-of-run report never survives a tunnel fault)
+                    print(prof.report(), flush=True)
             if not accepted:
                 if verbose:
                     print(f"step {step}: no acceptable step found, stopping")

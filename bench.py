@@ -141,12 +141,14 @@ def get_mesh(num_refs):
     return hier, ps
 
 
-def run_size(num_refs):
+def assemble_ctx(num_refs):
+    """Host mesh + device assembly only (shared by the solve benchmark and
+    the ADMM-throughput phase, so neither holds the other's device arrays
+    resident - refs=4 residue OOMed the refs=5 assembly in r2)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from admm_optim_tpu.ops import patchstencil as st
     from admm_optim_tpu.ops import sparsity
     from admm_optim_tpu.ops.deformation import (
         deformation_corner_block_fn,
@@ -163,7 +165,6 @@ def run_size(num_refs):
     )
     coords = jnp.asarray(fine.coords)
     n_dofs = fine.num_vertices * hier.dim
-    rel_tol = 1e-8
 
     # level-0-only wiring (a full P1VectorSpace.build walks every level's
     # sparsity pattern: minutes of 1-core host time at refs=4)
@@ -210,6 +211,24 @@ def run_size(num_refs):
         f"refs={num_refs}: assembly (incl compile): {dt_asm:.2f}s; dofs={n_dofs}"
         f" [compile cache {'HIT' if dt_asm < 60.0 else 'MISS-or-cold'}]"
     )
+    return dict(hier=hier, ps=ps, struct=struct, data=data, coords=coords)
+
+
+def run_size(num_refs):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from admm_optim_tpu.ops import patchstencil as st
+    from admm_optim_tpu.solvers import patch_mg
+
+    ctx = assemble_ctx(num_refs)
+    hier, ps, struct, data, coords = (
+        ctx["hier"], ctx["ps"], ctx["struct"], ctx["data"], ctx["coords"]
+    )
+    fine = hier.fine
+    n_dofs = fine.num_vertices * hier.dim
+    rel_tol = 1e-8
     log(patch_mg.vcycle_cost_table(struct, data))
 
     rng = np.random.default_rng(0)
@@ -241,10 +260,12 @@ def run_size(num_refs):
     t0 = time.perf_counter()
     s, acc, nrm, conv, rounds = chain_solves(data, b_p)
     float(s)  # compile + settle
+    dt_warm = time.perf_counter() - t0
     log(
         f"refs={num_refs}: warmup chain: iters/solve={int(acc) // REPS} "
         f"last rounds={int(rounds)} res={float(nrm):.3e} converged={bool(conv)} "
-        f"({time.perf_counter() - t0:.2f}s incl compile)"
+        f"({dt_warm:.2f}s incl compile)"
+        f" [compile cache {'HIT' if dt_warm < 30.0 else 'MISS-or-cold'}]"
     )
     if not bool(conv):
         raise RuntimeError(f"refs={num_refs}: IR solve did not converge to {rel_tol}")
@@ -392,57 +413,76 @@ def main():
         t0 = _warmup_t[0] if _warmup_t[0] is not None else start
         return time.perf_counter() - t0
 
-    # largest-viable-first (VERDICT r1: smallest-first burned the budget
-    # before the best number): refs=4 is the known-best headline, refs=5
-    # (24M DoF) attempted only with budget to spare, refs=3 as fallback
-    sizes = [4, 5, 3] if platform != "cpu" else [1]
-    best = None
-    admm_done = False
-    for refs in sizes:
-        if best is not None and elapsed() > BUDGET_S * 0.55:
-            log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
-            log("SIZE-RECORD " + json.dumps(
-                {"refs": refs, "skipped": "budget"}))
-            continue
+    # phase order (VERDICT r3 item 5: evidence ALL sizes): the two large
+    # solve records first (refs=4 headline, refs=5 = 22.4M DoF), then the
+    # ADMM-throughput record at refs=4 (VERDICT r3 item 4), then refs=3.
+    # Every phase frees its device arrays before the next (refs=4 residue
+    # OOMed the refs=5 assembly in r2); the ADMM phase re-assembles refs=4
+    # via assemble_ctx (fast when the persistent compile cache is warm).
+    def run_one_size(refs):
         try:
             dof_per_s, ctx = run_size(refs)
-            if best is None or dof_per_s > best[1]:
-                best = (refs, dof_per_s)
-                _best_result.update(
-                    metric=f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
-                    value=dof_per_s,
-                    vs_baseline=dof_per_s / baseline,
-                )
-            # secondary metric: ADMM inner-iteration throughput at refs=4
-            # (VERDICT r2 item 3: the headline size, not refs=3), while this
-            # size's stencils are resident anyway
-            if refs == 4 and platform != "cpu":
-                try:
-                    admm_throughput(refs, ctx)
-                    admm_done = True
-                except Exception as e:  # noqa: BLE001
-                    log(f"admm throughput refs={refs} failed: {e!r}")
-            # free this size's device arrays before the next: refs=4's
-            # stencils left resident OOMed the refs=5 assembly (measured)
             del ctx
+            return dof_per_s
         except Exception as e:  # noqa: BLE001 - emit whatever we have
             log(f"refs={refs} failed: {e!r}")
             log("SIZE-RECORD " + json.dumps(
                 {"refs": refs, "failed": repr(e)[:200]}))
+            return None
+
+    if platform == "cpu":
+        dof_per_s = run_one_size(1)
+        if dof_per_s is None:
+            print(json.dumps({"metric": "bench_failed", "value": 0.0,
+                              "unit": "dof/s", "vs_baseline": 0.0}))
+            return
+        _emit(f"mg_xupdate_1em8_dof_per_s_refs1_{platform}", dof_per_s,
+              dof_per_s / baseline)
+        return
+
+    best = None
+    for refs in (4, 5):
+        if best is not None and elapsed() > BUDGET_S * 0.55:
+            log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
+            log("SIZE-RECORD " + json.dumps({"refs": refs, "skipped": "budget"}))
+            continue
+        dof_per_s = run_one_size(refs)
+        if dof_per_s is not None and (best is None or dof_per_s > best[1]):
+            best = (refs, dof_per_s)
+            _best_result.update(
+                metric=f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
+                value=dof_per_s,
+                vs_baseline=dof_per_s / baseline,
+            )
+    # ADMM throughput at the headline size (always attempted while any
+    # budget remains: it is its own VERDICT target, senior to refs=3)
+    if elapsed() < BUDGET_S * 0.95:
+        try:
+            ctx4 = assemble_ctx(4)
+            admm_throughput(4, ctx4)
+            del ctx4
+        except Exception as e:  # noqa: BLE001 - secondary must not sink main
+            log(f"admm throughput refs=4 failed: {e!r}")
+    else:
+        log(f"skipping admm throughput: out of budget ({elapsed():.0f}s used)")
+    if elapsed() < BUDGET_S * 0.9:
+        dof_per_s = run_one_size(3)
+        if dof_per_s is not None and best is None:
+            best = (3, dof_per_s)
+            _best_result.update(
+                metric=f"mg_xupdate_1em8_dof_per_s_refs3_{platform}",
+                value=dof_per_s,
+                vs_baseline=dof_per_s / baseline,
+            )
+    else:
+        log(f"skipping refs=3: out of budget ({elapsed():.0f}s used)")
+        log("SIZE-RECORD " + json.dumps({"refs": 3, "skipped": "budget"}))
 
     if best is None:
         print(json.dumps({"metric": "bench_failed", "value": 0.0, "unit": "dof/s",
                           "vs_baseline": 0.0}))
         return
     refs, dof_per_s = best
-    # ADMM fallback at refs=3 if the refs=4 record did not land
-    if platform != "cpu" and not admm_done and elapsed() < BUDGET_S * 0.85:
-        try:
-            _, ctx3 = run_size(3)
-            admm_throughput(3, ctx3)
-            del ctx3
-        except Exception as e:  # noqa: BLE001 - secondary must not sink main
-            log(f"admm throughput failed: {e!r}")
     _emit(
         f"mg_xupdate_1em8_dof_per_s_refs{refs}_{platform}",
         dof_per_s,

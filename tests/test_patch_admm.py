@@ -195,7 +195,10 @@ def test_analytic_constraint_derivatives_match_ad(dim, refs):
         )
 
 
-@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 2)])
+@pytest.mark.parametrize(
+    "dim,refs",
+    [(2, 2), (3, 2), pytest.param(3, 3, marks=pytest.mark.slow)],
+)
 def test_spectral_prox_patch_matches_global(dim, refs):
     """Spectral-norm z-prox (ProjectWithSpectralNorm, 2d_admm.lua:902) on
     the patch backend == the global backend, at a 3D depth (refs=2) beyond
