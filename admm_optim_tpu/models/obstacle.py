@@ -583,12 +583,18 @@ class ObstacleShapeOpt:
 
         self._adjoint_pre = jax.jit(_adjoint_impl)
 
-        # host-chunked adjoint for large problems: ONE FGMRES restart cycle
-        # per device execution (the monolithic adjoint runs its full
-        # 800-plus-iteration solve in a single multi-minute execution, which
-        # the TPU tunnel kills the same way it kills the monolithic forward
-        # steps - see newton_solve_stepped's lin_cycle)
-        def _adj_cycle_impl(X, s, x, target, m_args):
+        # host-chunked adjoint for large problems: the Arnoldi cycle is
+        # split over bounded device executions (solvers.krylov.gmres_chunk_*)
+        # with the basis resident on the device between executions.  This
+        # keeps the FULL restart length - the r3 design capped the restart
+        # itself at adj_exec_restart=100 for tunnel survival, which STARVES
+        # the Krylov space exactly like the forward solve's restart=60
+        # pathology (NewtonConfig.lin_restart note): measured at 3D refs=2
+        # visc=0.02, the warm adjoint burned its full 1000-iteration budget
+        # at restart 100 (250 s/step, 63% of the whole optimization step).
+        # The lstsq residual estimate after each chunk also gives mid-cycle
+        # early exit (the monolithic cycle always ran its full length).
+        def _adj_wiring(X, s, m_args):
             MT = ns_solver.transpose_M(
                 lambda r: _M_fn(r, *m_args), self.ns_space.n_state, X.dtype
             )
@@ -605,20 +611,34 @@ class ObstacleShapeOpt:
             gJ = jax.grad(
                 lambda ss: nsops.drag(self.ns_space, X, ss, cfg.visc)
             )(s)
-            from ..solvers.krylov import gmres as _gmres
-            from ..solvers.ns_solver import _restart_len as _rl
+            return Jt, MT, gJ
 
-            rl = min(
-                _rl(cfg.ns, s.size, s.dtype.itemsize, mult=2),
-                cfg.ns.adj_exec_restart,
-            )
-            res = _gmres(
-                Jt, -gJ, x0=x, M=MT, restart=rl, max_iters=rl,
-                abs_tol=target, rel_tol=0.0,
-            )
-            return res.x, res.res_norm, res.iters
+        from ..solvers import krylov as _krylov
+        from ..solvers.ns_solver import _restart_len as _rl_init
 
-        self._adj_cycle = jax.jit(_adj_cycle_impl)
+        # chunk length = the measured-safe per-execution iteration count;
+        # restart length = the memory-budgeted full basis, rounded to whole
+        # chunks (the chunk kernel has a static trip count)
+        self._adj_ch = max(1, int(cfg.ns.adj_exec_restart))
+        _rl_full = _rl_init(
+            cfg.ns, int(self.ns_space.n_state),
+            jnp.asarray(self.X0).dtype.itemsize, mult=2,
+        )
+        self._adj_rl = max(self._adj_ch, (_rl_full // self._adj_ch) * self._adj_ch)
+
+        def _adj_start_impl(X, s, x, m_args):
+            Jt, _, gJ = _adj_wiring(X, s, m_args)
+            return _krylov.gmres_chunk_start(Jt, -gJ, x, self._adj_rl)
+
+        def _adj_chunk_impl(X, s, V, Z, H, beta, j0, m_args):
+            Jt, MT, _ = _adj_wiring(X, s, m_args)
+            return _krylov.gmres_chunk_arnoldi(
+                Jt, MT, V, Z, H, beta, j0, self._adj_ch
+            )
+
+        self._adj_start = jax.jit(_adj_start_impl)
+        self._adj_chunk = jax.jit(_adj_chunk_impl)
+        self._adj_finish = jax.jit(_krylov.gmres_chunk_finish)
         self._adj_gj_norm = jax.jit(
             lambda X, s: jnp.linalg.norm(
                 jax.grad(
@@ -628,8 +648,6 @@ class ObstacleShapeOpt:
         )
 
         def _adjoint_stepped(X, s, lam0):
-            from ..solvers.ns_solver import _restart_len as _rl
-
             ncfg = cfg.ns
             target = float(
                 max(
@@ -640,20 +658,29 @@ class ObstacleShapeOpt:
             m_args = _ns_pre(X, s=s)
             if self.use_ns_jac:
                 m_args = m_args + (self._ns_jac_jit(X, s, cfg.visc),)
-            rl = min(
-                _rl(ncfg, int(s.size), s.dtype.itemsize, mult=2),
-                ncfg.adj_exec_restart,
-            )
             x = lam0
             total = 0
+            budget = 4 * ncfg.lin_max_iters
             rn = jnp.asarray(jnp.inf, s.dtype)
-            while total < 4 * ncfg.lin_max_iters:
-                x, rn, k = self._adj_cycle(
-                    X, s, x, jnp.asarray(target, s.dtype), m_args
-                )
-                total += int(k)
-                if float(rn) <= target or int(k) < rl:
+            beta_prev = None
+            while True:
+                V, Z, H, beta = self._adj_start(X, s, x, m_args)
+                rn = beta
+                if float(beta) <= target or total >= budget:
                     break
+                if beta_prev is not None and not (
+                    float(beta) < beta_prev * (1.0 - 1e-6)
+                ):
+                    break  # cycle stagnated (f32 floor); keep best iterate
+                beta_prev = float(beta)
+                j, est = 0, beta
+                while j < self._adj_rl and float(est) > target and total < budget:
+                    V, Z, H, est = self._adj_chunk(
+                        X, s, V, Z, H, beta, jnp.asarray(j, jnp.int32), m_args
+                    )
+                    j += self._adj_ch
+                    total += self._adj_ch
+                x = self._adj_finish(x, Z, H, beta)
             return x, rn, jnp.asarray(total, jnp.int32)
 
         self._adjoint_stepped_fn = _adjoint_stepped

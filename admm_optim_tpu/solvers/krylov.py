@@ -292,3 +292,80 @@ def gmres(
 
     x, it, nrm = jax.lax.while_loop(cond, body, (x0, jnp.array(0, jnp.int32), nrm0))
     return SolveResult(x, it * m, nrm, nrm <= tol)
+
+
+# ---- host-chunked FGMRES (one Arnoldi cycle split over many short device
+# executions) -----------------------------------------------------------------
+#
+# The TPU tunnel reproducibly kills multi-minute single executions
+# (docs/ROADMAP.md round-3), which forced the stepped adjoint to cap its
+# restart length at adj_exec_restart=100 - STARVING the Krylov space the
+# same way lin_restart=60 starved the forward solve (NewtonConfig.lin_restart
+# note).  These helpers keep the FULL restart length while bounding each
+# device execution to a fixed number of Arnoldi steps: the basis (V, Z, H)
+# stays on the device between executions, and the host checks the cheap
+# least-squares residual ESTIMATE after each chunk - which also gives
+# mid-cycle early exit (the monolithic cycle always runs its full length).
+#
+# Pure-math helpers: the caller wires A/M from its runtime pytree args and
+# jits wrappers (closures over device arrays would go stale; see
+# newton_solve_stepped's M_fn note).
+
+
+def gmres_chunk_start(A, b, x0, m: int):
+    """Begin one flexible-GMRES cycle at iterate x0.
+
+    Returns (V, Z, H, beta): the (m+1, n) basis with V[0] = r/|r|, the
+    empty preconditioned basis Z (m, n), the empty Hessenberg H
+    (m+1, m), and beta = |b - A x0| (the TRUE residual norm at x0 - the
+    caller's convergence check)."""
+    r = b - A(x0)
+    beta = _norm(r)
+    n = b.shape[0]
+    dtype = b.dtype
+    V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-30))
+    Z = jnp.zeros((m, n), dtype)
+    H = jnp.zeros((m + 1, m), dtype)
+    return V, Z, H, beta
+
+
+def gmres_chunk_arnoldi(A, M, V, Z, H, beta, j0, nsteps: int):
+    """Run Arnoldi steps j0 .. j0+nsteps-1 of the cycle (nsteps is static:
+    one bounded device execution).  MGS + one reorthogonalization pass,
+    identical arithmetic to gmres()'s inner loop.  Returns the advanced
+    (V, Z, H) and the least-squares residual ESTIMATE of the filled
+    subspace (== the GMRES residual in exact arithmetic; unfilled columns
+    of H are zero and drop out of the min-norm lstsq)."""
+    m = H.shape[1]
+
+    def step(j, carry):
+        V, Z, H = carry
+        z = M(V[j])
+        w = A(z)
+        h1 = V @ w
+        w = w - V.T @ h1
+        h2 = V @ w
+        w = w - V.T @ h2
+        h = h1 + h2
+        wn = _norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(wn, 1e-30))
+        H = H.at[:, j].set(h)
+        H = H.at[j + 1, j].set(wn)
+        Z = Z.at[j].set(z)
+        return (V, Z, H)
+
+    V, Z, H = jax.lax.fori_loop(j0, j0 + nsteps, step, (V, Z, H))
+    e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta)
+    y = jnp.linalg.lstsq(H, e1)[0]
+    est = _norm(H @ y - e1)
+    return V, Z, H, est
+
+
+def gmres_chunk_finish(x0, Z, H, beta):
+    """Close the cycle: minimize |beta e1 - H y| over the FILLED columns
+    (zero columns from an early exit contribute y ~ 0 through the min-norm
+    lstsq) and return x0 + Z^T y."""
+    m = H.shape[1]
+    e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta)
+    y = jnp.linalg.lstsq(H, e1)[0]
+    return x0 + Z.T @ y

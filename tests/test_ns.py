@@ -280,3 +280,27 @@ def test_transpose_M_exact_and_effective(setup):
     # parity: the transposed solve reaches within an order of magnitude of
     # the forward residual in the same iteration budget
     assert float(rt.res_norm) <= 10.0 * max(float(rf.res_norm), 1e-30)
+
+
+@pytest.mark.slow
+def test_stepped_adjoint_matches_monolithic():
+    """The host-chunked adjoint (gmres_chunk_* cycle splitting, the
+    flagship's large-problem path) solves the same system to the same
+    target as the monolithic jitted adjoint, from the same state."""
+    from admm_optim_tpu.models.obstacle import ObstacleShapeOpt, ProblemConfig
+
+    cfg = ProblemConfig(dim=2, num_refs=1, visc=0.05)
+    prob = ObstacleShapeOpt(cfg)
+    X = prob.X0
+    s, _, _, conv = prob._ns_solve(X, prob.initial_state(X))
+    assert bool(conv)
+
+    lam_m, res_m, it_m = prob._adjoint_pre(X, s, jnp.zeros_like(s))
+    lam_s, res_s, it_s = prob._adjoint_stepped_fn(X, s, jnp.zeros_like(s))
+    target = max(
+        cfg.ns.lin_abs_tol,
+        cfg.ns.adj_rel_tol * float(prob._adj_gj_norm(X, s)),
+    )
+    assert float(res_s) <= 1.01 * target
+    nm = float(jnp.linalg.norm(lam_m))
+    assert float(jnp.linalg.norm(lam_s - lam_m)) <= 1e-5 * nm
