@@ -57,14 +57,20 @@ class NewtonConfig:
     # inherits its linear residual directly, so it keeps a tight tolerance
     # independent of lin_rel_tol
     adj_rel_tol: float = 1e-11
-    # per-execution iteration bound for the HOST-CHUNKED adjoint (large
-    # problems): one restart cycle = one device execution, and a 400-long
-    # cycle on 3D refs=2 is a ~minute-plus execution that the TPU tunnel
-    # reproducibly kills mid-run (the forward solve's 200-cycles at ~20 s
-    # survive).  Shorter restarts trade some Krylov-space breadth for
-    # bounded executions; the exact transposed preconditioner keeps the
-    # iteration count low enough that this is affordable.
+    # per-execution Arnoldi CHUNK length for the host-chunked adjoint
+    # (large problems): the Arnoldi cycle is split over bounded device
+    # executions with the basis device-resident between them
+    # (krylov.gmres_chunk_*), so this bounds execution length WITHOUT
+    # shortening the restart (the r3 design capped the restart itself at
+    # this value, starving the Krylov space: the warm 3D refs=2 visc=0.02
+    # adjoint burned its full 1000-iteration budget at restart 100).
     adj_exec_restart: int = 100
+    # per-execution Arnoldi chunk length for the host-chunked FORWARD
+    # Newton's linear solves (newton_solve_stepped): chunking the cycle
+    # gives mid-cycle early exit on the lstsq residual estimate - the
+    # monolithic cycle always ran its full restart length, overshooting by
+    # up to restart-1 iterations per Newton step
+    lin_exec_chunk: int = 50
 
 
 def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
@@ -75,6 +81,15 @@ def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
     point the basis is ~the size of a handful of states and unavoidable."""
     cap = int(cfg.lin_basis_budget_bytes // max(2 * n_state * itemsize, 1)) - 1
     return max(30, min(mult * cfg.lin_restart, cap))
+
+
+def _chunked_rl(cfg: NewtonConfig, n_state: int, itemsize: int) -> int:
+    """Restart length for the host-chunked forward solve: the budgeted
+    _restart_len rounded down to whole lin_exec_chunk executions (the
+    chunk kernel has a static trip count)."""
+    ch = max(1, int(cfg.lin_exec_chunk))
+    rl = _restart_len(cfg, n_state, itemsize)
+    return max(ch, (rl // ch) * ch)
 
 
 def newton_solve(
@@ -207,7 +222,7 @@ def newton_solve_stepped(
     default_M = M_fn is None
     use_jac = jv_fn is not None and (jac_builder is not None or jv_from_m)
     cache = step_jit_cache if step_jit_cache is not None else {}
-    key = ("newton_step_v2", id(space), stab, cfg, default_M, use_jac, jv_from_m)
+    key = ("newton_step_v3", id(space), stab, cfg, default_M, use_jac, jv_from_m)
 
     if key not in cache:
 
@@ -228,22 +243,34 @@ def newton_solve_stepped(
                 Jv = lambda x: jax.jvp(R, (s,), (x,))[1]
             return R, Jv, Mx
 
-        def lin_cycle(coords, s, visc, x, target, m_args):
-            """ONE FGMRES restart cycle continuing from x.  The full
-            cfg.lin_max_iters solve used to run inside a single device
-            execution; at the reference viscosity on 3D refs=2 that is a
-            multi-minute execution, which the TPU tunnel reproducibly
-            KILLS (worker 'crashed or restarted' at the nu=0.02 rung,
-            rungs >= 0.04 fine).  One restart cycle is seconds; the host
-            loops cycles - identical arithmetic (a restart boundary is a
-            restart boundary), bounded executions."""
-            R, Jv, Mx = _wiring(coords, s, visc, m_args)
-            rl = _restart_len(cfg, s.size, s.dtype.itemsize)
-            res = gmres(
-                Jv, -R(s), x0=x, M=Mx, restart=rl, max_iters=rl,
-                abs_tol=target, rel_tol=0.0,
+        def lin_start(coords, s, visc, x, m_args):
+            """Open one FGMRES cycle continuing from x (bounded device
+            executions: the full cfg.lin_max_iters solve used to run in a
+            single multi-minute execution, which the TPU tunnel reproducibly
+            KILLS - worker 'crashed or restarted' at the nu=0.02 rung,
+            rungs >= 0.04 fine.  The Arnoldi cycle is further split into
+            lin_exec_chunk-step executions with the basis device-resident
+            (krylov.gmres_chunk_*), which adds mid-cycle early exit)."""
+            from .krylov import gmres_chunk_start
+
+            R, Jv, _ = _wiring(coords, s, visc, m_args)
+            rl = _chunked_rl(cfg, s.size, s.dtype.itemsize)
+            return gmres_chunk_start(Jv, -R(s), x, rl)
+
+        def lin_chunk(coords, s, visc, V, Z, H, beta, j0, m_args):
+            from .krylov import gmres_chunk_arnoldi
+
+            _, Jv, Mx = _wiring(coords, s, visc, m_args)
+            return gmres_chunk_arnoldi(
+                Jv, Mx, V, Z, H, beta, j0, min(cfg.lin_exec_chunk,
+                                               _chunked_rl(cfg, s.size,
+                                                           s.dtype.itemsize))
             )
-            return res.x, res.res_norm, res.iters
+
+        def lin_finish(x, Z, H, beta):
+            from .krylov import gmres_chunk_finish
+
+            return gmres_chunk_finish(x, Z, H, beta)
 
         def ls_step(coords, s, visc, delta, nrm):
             def R(ss):
@@ -269,10 +296,14 @@ def newton_solve_stepped(
             r = nsops.ns_residual(space, coords, s, visc, stab)
             return jnp.sqrt(jnp.vdot(r, r))
 
-        cache[key] = (jax.jit(lin_cycle), jax.jit(ls_step), jax.jit(resnorm))
-    cycle_fn, ls_fn, resnorm_fn = cache[key]
+        cache[key] = (
+            jax.jit(lin_start), jax.jit(lin_chunk), jax.jit(lin_finish),
+            jax.jit(ls_step), jax.jit(resnorm),
+        )
+    start_fn, chunk_fn, finish_fn, ls_fn, resnorm_fn = cache[key]
 
-    rl = _restart_len(cfg, s0.size, s0.dtype.itemsize)
+    rl = _chunked_rl(cfg, s0.size, s0.dtype.itemsize)
+    ch = min(max(1, int(cfg.lin_exec_chunk)), rl)
     nrm = float(resnorm_fn(coords, s0, visc))
     s = s0
     it = 0
@@ -284,13 +315,25 @@ def newton_solve_stepped(
                      cfg.lin_rel_tol * nrm)
         x = jnp.zeros_like(s)
         lin_its = 0
+        beta_prev = None
         while lin_its < cfg.lin_max_iters:
-            x, rn, k = cycle_fn(
-                coords, s, visc, x, jnp.asarray(target, s0.dtype), m_args
-            )
-            lin_its += int(k)
-            if float(rn) <= target or int(k) < rl:
+            V, Z, H, beta = start_fn(coords, s, visc, x, m_args)
+            if float(beta) <= target:
                 break
+            if beta_prev is not None and not (
+                float(beta) < beta_prev * (1.0 - 1e-6)
+            ):
+                break  # restart cycle stagnated (f32 floor); keep iterate
+            beta_prev = float(beta)
+            j, est = 0, beta
+            while j < rl and float(est) > target and lin_its < cfg.lin_max_iters:
+                V, Z, H, est = chunk_fn(
+                    coords, s, visc, V, Z, H, beta,
+                    jnp.asarray(j, jnp.int32), m_args,
+                )
+                j += ch
+                lin_its += ch
+            x = finish_fn(x, Z, H, beta)
         s_new, nrm_new = ls_fn(coords, s, visc, x, jnp.asarray(nrm, s0.dtype))
         nrm_new = float(nrm_new)
         if verbose:
