@@ -86,14 +86,21 @@ for pp, k in CONFS:
     t_fwd = time.perf_counter() - t0
     if s_conv is None and bool(conv2):
         s_conv = s2
-    # adjoint at the converged state (cold lam0 = zeros)
-    p._cur_lam_adj = None
+    # adjoint at the converged state (cold lam0 = zeros; the stepped
+    # chunked path at production sizes - the monolithic solve is a single
+    # multi-minute execution the tunnel kills)
+    def run_adj():
+        p._cur_lam_adj = None
+        if p._ns_stepped:
+            return p._adjoint_stepped_fn(X, s2, jnp.zeros_like(s2))
+        return p._adjoint_pre(X, s2, jnp.zeros_like(s2))
+
     t0 = time.perf_counter()
-    lam, res_a, it_a = p._adjoint_pre(X, s2, jnp.zeros_like(s2))
+    lam, res_a, it_a = run_adj()
     jax.block_until_ready(lam)
     t_adj_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
-    lam, res_a, it_a = p._adjoint_pre(X, s2, jnp.zeros_like(s2))
+    lam, res_a, it_a = run_adj()
     jax.block_until_ready(lam)
     t_adj = time.perf_counter() - t0
     row = dict(pp=pp, k=k, fwd_s=t_fwd, fwd_newton=int(it2),
