@@ -1047,6 +1047,11 @@ class ObstacleShapeOpt:
                 )
             with prof.phase("adjoint"):
                 lam_adj, adj_res, adj_iters = self._adjoint(X, s)
+            if verbose:
+                print(
+                    f"  adjoint: {int(adj_iters)} its |r|={float(adj_res):.2e}",
+                    flush=True,
+                )
             if cfg.debug_nans:
                 debug.check_finite("adjoint", lam_adj=lam_adj)
             with prof.phase("jprime", sync=None):

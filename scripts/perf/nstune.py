@@ -182,7 +182,11 @@ if p.use_patch_ns and s_conv is not None:
     timeit("velocity V-cycle", jax.jit(vel_M), rv)
     if p.use_ns_jac:
         W = p._ns_jac_jit(X, s_conv, VISC)
-        timeit("B^T zp (assembled)", jax.jit(lambda zp: p._ns_bt(zp, W)), rp)
+        # W as a jit ARGUMENT: closure-captured refs=2 Jacobian blocks are
+        # inlined as constants and blow the remote-compile upload limit
+        # (HTTP 413, observed r4)
+        bt = jax.jit(lambda zp, W: p._ns_bt(zp, W))
+        timeit("B^T zp (assembled)", lambda zp: bt(zp, W), rp)
 
 log("SUMMARY " + repr(results))
 log("DONE")
