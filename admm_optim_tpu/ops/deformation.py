@@ -187,6 +187,70 @@ def constraint_hvp(coords, elems, u, Lmbda, ref_volume, ref_barycenter, x):
     return jax.jvp(jax.grad(lag), (u,), (x,))[1]
 
 
+def hvp_elem_mats(coords, elems, u, Lmbda):
+    """(C, C, nl, nl, E) element matrices of the constraint Hessian
+    sum_k Lambda_k d2g_k/du2 at the frozen Newton iterate (u, Lambda).
+
+    Closed form of the per-element energy
+      E_e(u) = vol * det(A) * (L0 + sum_j L_{1+j} cent_j),  A = I + grad u:
+      H[c,f,a,b] = vol [ S (dC/dA)[e_f (x) g_b]^{ck} g_a^k
+                         + (C g_a)^c L_{1+f}/nl + L_{1+c}/nl (C g_b)^f ]
+    with C = cof(A), S = L0 + sum_j L_{1+j} cent_j.  Assembled once per
+    Newton iterate into the ELL values (GlobalOps.hess_fn), it replaces
+    the forward-over-reverse AD constraint_hvp at every Krylov matvec.
+    The patch-lattice counterpart is ops.patchdeform.hvp_corner_block_fn;
+    both are FD/AD-validated (tests/test_patch_admm.py, tests/test_admm.py).
+    """
+    from .patchdeform import _cof, _dcof
+
+    d = coords.shape[1]
+    nl = d + 1
+    _, _, Jinv, vol = elem_geometry(coords, elems)
+    g = p1_phys_grads(Jinv)  # (nl, d, E)
+    ue = u[:, elems.T]  # (C, nl, E)
+    G = jnp.einsum("cae,ake->cke", ue, g)
+    eye = jnp.eye(d, dtype=coords.dtype)[:, :, None]
+    A = eye + G  # (d, d, E)
+    C_ = _cof(A)
+    cent = (gather_elem(coords, elems) + ue).mean(axis=1)  # (d, E)
+    S = Lmbda[0] + sum(Lmbda[1 + j] * cent[j] for j in range(d))  # (E,)
+    Cg = jnp.einsum("cke,ake->cae", C_, g)  # (C g_a)^c
+
+    K = {}
+    for f in range(d):
+        for b in range(nl):
+            Ef = jnp.zeros_like(A).at[f].set(g[b])  # e_f (x) g_b
+            K[(f, b)] = jnp.einsum("cke,ake->cae", _dcof(A, Ef), g)
+
+    out = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    vol
+                                    * (
+                                        S * K[(f, b)][c, a]
+                                        + Cg[c, a] * (Lmbda[1 + f] / nl)
+                                        + (Lmbda[1 + c] / nl) * Cg[f, b]
+                                    )
+                                    for b in range(nl)
+                                ]
+                            )
+                            for a in range(nl)
+                        ]
+                    )
+                    for f in range(d)
+                ]
+            )
+            for c in range(d)
+        ]
+    )
+    return out  # (C, C, nl, nl, E)
+
+
 # ---------------------------------------------------------------------------
 # linear RHS:  <J'_s, w> + int (lambda - tau*q*) : grad w dx
 # ---------------------------------------------------------------------------

@@ -353,6 +353,78 @@ def constraint_hvp_analytic_p(ps, coords_p, u_p, Lmbda, ref_volume,
     return constraint_hvp_apply_p(ps, coords_p, state, x_p)
 
 
+def hvp_corner_block_fn(Lmbda):
+    """Block-protocol corner matrices (ops.patchstencil.assemble_w) of the
+    constraint Hessian sum_k Lambda_k d2g_k/du2 at a frozen Newton iterate.
+
+    The per-cell energy behind the geometric constraints is
+      E_cell(u) = vol0 * det(A(u)) * (L0 + sum_j L_{1+j} cent_j(u)),
+    A = I + grad u, cent = mean of (X + u) corners - its corner-pair
+    Hessian blocks are, with C = cof(A), S = L0 + sum_j L_{1+j} cent_j,
+    g_a the physical P1 basis gradients and nl = d+1:
+      blk(a,b)[c,f] = vol0 [ S * (dC/dA)[e_f (x) g_b]^{ck} g_a^k
+                             + (C g_a)^c L_{1+f}/nl + L_{1+c}/nl (C g_b)^f ]
+    (the same three terms constraint_hvp_apply_p applies matvec-side:
+    S*Dcof, cof*cx, and the scalar_rhs cof:Ex row).  Assembling these into
+    stencil slots ONCE per Newton iterate turns every Krylov H-matvec from
+    A-apply + 35 ms of HVP cell work into a single fused stencil apply
+    (the refs=4 ADMM iteration cost is matvec-side, docs/ROADMAP.md r3).
+
+    Corners arrive as stacked channels [coords | u] (2d, nl, *cells, P),
+    the convdiff-assembly convention; Lmbda may be a tracer (the caller
+    assembles inside the jitted ADMM loop).  Blocks are Hessian-symmetric
+    (blk(a,b) = blk(b,a)^T), so sym=True half-stencil storage is valid."""
+    from .geometry import corner_geometry
+
+    def fn(xc):
+        d = xc.shape[0] // 2
+        x, u = xc[:d], xc[d:]
+        nl = d + 1
+        _, _, Jinv, vol = corner_geometry(x)
+        g = p1_phys_grads(Jinv)  # (nl, d, *cells, P)
+        # A = I + grad u from corner values (unrolled tiny contractions -
+        # einsum layouts tile-pad the size-d axes, see cell_grads)
+        eye = jnp.eye(d, dtype=xc.dtype).reshape((d, d) + (1,) * (g.ndim - 2))
+        G = jnp.stack(
+            [
+                jnp.stack(
+                    [sum(g[i, e] * u[c, i] for i in range(nl)) for e in range(d)]
+                )
+                for c in range(d)
+            ]
+        )
+        A = eye + G
+        C = _cof(A)
+        cent = (x + u).mean(axis=1)  # (d, *cells, P)
+        S = Lmbda[0] + sum(Lmbda[1 + j] * cent[j] for j in range(d))
+
+        def blk(a, b):
+            # Cga^c = (C g_a)^c ; Cgb^f = (C g_b)^f
+            Cga = [sum(C[c, k] * g[a, k] for k in range(d)) for c in range(d)]
+            Cgb = [sum(C[f, m] * g[b, m] for m in range(d)) for f in range(d)]
+            cols = []
+            for f in range(d):
+                # E = e_f (x) g_b  ->  dC = Dcof(A)[E]
+                E = jnp.zeros_like(A).at[f].set(g[b])
+                dC = _dcof(A, E)
+                col = [
+                    vol
+                    * (
+                        S * sum(dC[c, k] * g[a, k] for k in range(d))
+                        + Cga[c] * (Lmbda[1 + f] / nl)
+                        + (Lmbda[1 + c] / nl) * Cgb[f]
+                    )
+                    for c in range(d)
+                ]
+                cols.append(jnp.stack(col))
+            return jnp.stack(cols, axis=1)  # (c, f, *cells, P)
+
+        return blk
+
+    fn.block_protocol = True
+    return fn
+
+
 def z_update_p(ps, coords_p, u_p, lam, tau, sigma, norm_name="frobenius"):
     """q* = Proj_sigma(grad u + lambda/tau), per cell (d, d, T, *cells, P)."""
     G, _ = cell_grads(ps, coords_p, u_p)

@@ -251,6 +251,12 @@ def newton_xupdate_ops(
     r_lin = scaling * Jp_base * free + ops_.tensor_rhs(lam - cfg.tau * q_proj)
 
     def make_hess_apply(u, Lambda):
+        # assembled-Hessian fast path (PatchOps.hess_fn): the constraint
+        # Hessian folds into the stencil once per Newton iterate, so each
+        # Krylov matvec is ONE fused stencil apply (b2ndOrder's extra_hvp
+        # lives outside the cell calculus and keeps the matvec-side form)
+        if extra_hvp is None and hasattr(ops_, "hess_fn"):
+            return ops_.hess_fn(u, Lambda, ref_volume, ref_barycenter)
         # (u, Lambda)-dependent HVP state precomputed ONCE per Newton
         # iterate (ops_.hvp_fn) - the HVP runs at every Krylov matvec
         hvp = ops_.hvp_fn(u, Lambda, ref_volume, ref_barycenter)

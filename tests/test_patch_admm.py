@@ -268,3 +268,46 @@ def test_admm_inner_patch_matches_global_spectral(dim, refs):
     np.testing.assert_allclose(
         float(st_g.max_grad_norm), float(st_p.max_grad_norm), rtol=1e-7
     )
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_assembled_hessian_matches_matvec_hvp(dim, refs):
+    """PatchOps.hess_fn (constraint Hessian assembled into stencil slots,
+    pdfm.hvp_corner_block_fn) == A + matvec-side HVP, on random iterates.
+    The assembled form is the production x-update matvec (admm.py
+    make_hess_apply)."""
+    hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
+    fine = hier.fine
+    rng = np.random.default_rng(17)
+    u_g = (
+        jnp.asarray(rng.normal(size=(dim, fine.num_vertices))) * 0.03 * gops.free
+    )
+    x_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices))) * gops.free
+    u_p = pst.to_patch(ps.fine, u_g)
+    x_p = pst.to_patch(ps.fine, x_g) * pops.free
+    Lm = jnp.asarray(rng.normal(size=(1 + dim,)))
+
+    h_ref = pops.A(x_p) + pops.hvp_fn(u_p, Lm, ref_vol, ref_bary)(x_p)
+    h_asm = pops.hess_fn(u_p, Lm, ref_vol, ref_bary)(x_p)
+    nrm = float(jnp.linalg.norm(h_ref))
+    err = float(jnp.linalg.norm(h_asm - h_ref))
+    assert err <= 1e-11 * max(nrm, 1e-30), f"assembled Hessian mismatch: {err / nrm}"
+
+
+@pytest.mark.parametrize("dim,refs", [(2, 2), (3, 1)])
+def test_global_assembled_hessian_matches_ad(dim, refs):
+    """GlobalOps.hess_fn (dfm.hvp_elem_mats assembled into ELL values) ==
+    A + the forward-over-reverse AD constraint HVP."""
+    hier, ps, gops, pops, cfg, Jp_g, ref_vol, ref_bary = _setup(dim, refs)
+    fine = hier.fine
+    rng = np.random.default_rng(23)
+    u_g = (
+        jnp.asarray(rng.normal(size=(dim, fine.num_vertices))) * 0.03 * gops.free
+    )
+    x_g = jnp.asarray(rng.normal(size=(dim, fine.num_vertices))) * gops.free
+    Lm = jnp.asarray(rng.normal(size=(1 + dim,)))
+    h_ref = gops.A(x_g) + gops.constraint_hvp(u_g, Lm, ref_vol, ref_bary, x_g)
+    h_asm = gops.hess_fn(u_g, Lm, ref_vol, ref_bary)(x_g)
+    nrm = float(jnp.linalg.norm(h_ref))
+    err = float(jnp.linalg.norm(h_asm - h_ref))
+    assert err <= 1e-11 * max(nrm, 1e-30), f"global assembled Hessian: {err / nrm}"
