@@ -648,6 +648,21 @@ class ObstacleShapeOpt:
         )
 
         def _adjoint_stepped(X, s, lam0):
+            import os as _os
+
+            dbg = _os.environ.get("ADJ_DEBUG") == "1"
+            _t00 = time.perf_counter()
+
+            def _t():
+                return time.perf_counter()
+
+            def _p(msg):
+                # absolute offset since function entry: the axon tunnel's
+                # fetches do not reliably block where expected, so local
+                # timers alone mislocate the wall time
+                print(f"    [adj +{_t() - _t00:7.2f}s] {msg}", flush=True)
+
+            t0 = _t()
             ncfg = cfg.ns
             target = float(
                 max(
@@ -655,32 +670,53 @@ class ObstacleShapeOpt:
                     ncfg.adj_rel_tol * float(self._adj_gj_norm(X, s)),
                 )
             )
+            t1 = _t()
             m_args = _ns_pre(X, s=s)
+            jax.block_until_ready(jax.tree_util.tree_leaves(m_args)[0])
+            t2 = _t()
             if self.use_ns_jac:
                 m_args = m_args + (self._ns_jac_jit(X, s, cfg.visc),)
+                jax.block_until_ready(m_args[-1])
+            t3 = _t()
+            if dbg:
+                _p(
+                    f"gj_norm {t1 - t0:.2f}s pre {t2 - t1:.2f}s "
+                    f"W {t3 - t2:.2f}s target {target:.3e}"
+                )
             x = lam0
             total = 0
             budget = 4 * ncfg.lin_max_iters
             rn = jnp.asarray(jnp.inf, s.dtype)
             beta_prev = None
             while True:
+                tc = _t()
                 V, Z, H, beta = self._adj_start(X, s, x, m_args)
                 rn = beta
-                if float(beta) <= target or total >= budget:
+                bf = float(beta)
+                if dbg:
+                    _p(f"start {_t() - tc:.2f}s beta {bf:.3e}")
+                if bf <= target or total >= budget:
                     break
                 if beta_prev is not None and not (
-                    float(beta) < beta_prev * (1.0 - 1e-6)
+                    bf < beta_prev * (1.0 - 1e-6)
                 ):
                     break  # cycle stagnated (f32 floor); keep best iterate
-                beta_prev = float(beta)
+                beta_prev = bf
                 j, est = 0, beta
                 while j < self._adj_rl and float(est) > target and total < budget:
+                    tc = _t()
                     V, Z, H, est = self._adj_chunk(
                         X, s, V, Z, H, beta, jnp.asarray(j, jnp.int32), m_args
                     )
                     j += self._adj_ch
                     total += self._adj_ch
+                    if dbg:
+                        _p(f"chunk j={j} {_t() - tc:.2f}s est {float(est):.3e}")
+                tc = _t()
                 x = self._adj_finish(x, Z, H, beta)
+                jax.block_until_ready(x)
+                if dbg:
+                    _p(f"finish {_t() - tc:.2f}s")
             return x, rn, jnp.asarray(total, jnp.int32)
 
         self._adjoint_stepped_fn = _adjoint_stepped
