@@ -73,7 +73,7 @@ def start_watchdog():
 
     def run():
         _warmup_done.wait(WARMUP_CAP_S)
-        time.sleep(BUDGET_S + 90.0)
+        time.sleep(BUDGET_S + 150.0)
         log("[watchdog] deadline hit; emitting best-so-far")
         if _best_result:
             _emit(**_best_result)
@@ -418,25 +418,29 @@ def main():
         t0 = _warmup_t[0] if _warmup_t[0] is not None else start
         return time.perf_counter() - t0
 
-    # phase order (VERDICT r3 item 5: evidence ALL sizes): the two large
-    # solve records first (refs=4 headline, refs=5 = 22.4M DoF), then the
-    # ADMM-throughput record at refs=4 (VERDICT r3 item 4), then refs=3.
-    # Every phase frees its device arrays before the next (refs=4 residue
-    # OOMed the refs=5 assembly in r2); the ADMM phase re-assembles refs=4
-    # via assemble_ctx (fast when the persistent compile cache is warm).
+    # Phase order under the COLD-COMPILE reality (measured r4: the
+    # persistent compile cache does NOT survive across processes through
+    # the axon remote-compile tunnel - in-process re-jits of the same HLO
+    # hit, fresh processes always miss, so every driver round pays full
+    # compiles).  Measured cold phase costs on v5e: refs=4 solve ~270 s,
+    # ADMM@refs=4 ~240 s, refs=3 ~150 s, refs=5 ~440 s.  The two headline
+    # records (refs=4 solve + the ADMM-throughput target) come first and
+    # fit the 540 s budget together; refs=3 rides the watchdog slack;
+    # refs=5 (22.4M DoF, measured this round at 1.42e7 DoF/s with a
+    # raised local budget - docs/ROADMAP.md r4) only runs when the budget
+    # is demonstrably warm or raised via BENCH_BUDGET_S.
     def run_one_size(refs):
         try:
             dof_per_s, ctx = run_size(refs)
-            del ctx
-            return dof_per_s
+            return dof_per_s, ctx
         except Exception as e:  # noqa: BLE001 - emit whatever we have
             log(f"refs={refs} failed: {e!r}")
             log("SIZE-RECORD " + json.dumps(
                 {"refs": refs, "failed": repr(e)[:200]}))
-            return None
+            return None, None
 
     if platform == "cpu":
-        dof_per_s = run_one_size(1)
+        dof_per_s, ctx = run_one_size(1)
         if dof_per_s is None:
             print(json.dumps({"metric": "bench_failed", "value": 0.0,
                               "unit": "dof/s", "vs_baseline": 0.0}))
@@ -446,12 +450,9 @@ def main():
         return
 
     best = None
-    for refs in (4, 5):
-        if best is not None and elapsed() > BUDGET_S * 0.55:
-            log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
-            log("SIZE-RECORD " + json.dumps({"refs": refs, "skipped": "budget"}))
-            continue
-        dof_per_s = run_one_size(refs)
+
+    def record_best(refs, dof_per_s):
+        nonlocal best
         if dof_per_s is not None and (best is None or dof_per_s > best[1]):
             best = (refs, dof_per_s)
             _best_result.update(
@@ -459,29 +460,28 @@ def main():
                 value=dof_per_s,
                 vs_baseline=dof_per_s / baseline,
             )
-    # ADMM throughput at the headline size (always attempted while any
-    # budget remains: it is its own VERDICT target, senior to refs=3)
-    if elapsed() < BUDGET_S * 0.95:
+
+    dof_per_s, ctx4 = run_one_size(4)
+    record_best(4, dof_per_s)
+    # ADMM throughput on the STILL-RESIDENT refs=4 stencils (re-assembly
+    # in a cold process would cost another ~160 s compile)
+    if ctx4 is not None and elapsed() < BUDGET_S * 1.05:
         try:
-            ctx4 = assemble_ctx(4)
             admm_throughput(4, ctx4)
-            del ctx4
         except Exception as e:  # noqa: BLE001 - secondary must not sink main
             log(f"admm throughput refs=4 failed: {e!r}")
     else:
         log(f"skipping admm throughput: out of budget ({elapsed():.0f}s used)")
-    if elapsed() < BUDGET_S * 0.9:
-        dof_per_s = run_one_size(3)
-        if dof_per_s is not None and best is None:
-            best = (3, dof_per_s)
-            _best_result.update(
-                metric=f"mg_xupdate_1em8_dof_per_s_refs3_{platform}",
-                value=dof_per_s,
-                vs_baseline=dof_per_s / baseline,
-            )
-    else:
-        log(f"skipping refs=3: out of budget ({elapsed():.0f}s used)")
-        log("SIZE-RECORD " + json.dumps({"refs": 3, "skipped": "budget"}))
+    del ctx4  # refs=4 residue OOMs larger assemblies (measured r2)
+
+    for refs, gate in ((5, 0.45), (3, 1.1)):
+        if elapsed() > BUDGET_S * gate:
+            log(f"skipping refs={refs}: out of budget ({elapsed():.0f}s used)")
+            log("SIZE-RECORD " + json.dumps({"refs": refs, "skipped": "budget"}))
+            continue
+        dof_per_s, ctx = run_one_size(refs)
+        del ctx
+        record_best(refs, dof_per_s)
 
     if best is None:
         print(json.dumps({"metric": "bench_failed", "value": 0.0, "unit": "dof/s",
