@@ -620,6 +620,11 @@ class ObstacleShapeOpt:
         # restart length = the memory-budgeted full basis, rounded to whole
         # chunks (the chunk kernel has a static trip count)
         self._adj_ch = max(1, int(cfg.ns.adj_exec_restart))
+        # mult=2 (restart ~400): measured r4 on the flagship, a single
+        # 800-length f32 cycle FLOORS at est ~1.5e-4 from j=400 onward
+        # (Arnoldi orthogonality loss) while two 400-cycles reach 1e-6 -
+        # the restart re-anchors accuracy at the updated iterate, so
+        # longer cycles past ~400 only burn iterations at the floor
         _rl_full = _rl_init(
             cfg.ns, int(self.ns_space.n_state),
             jnp.asarray(self.X0).dtype.itemsize, mult=2,
