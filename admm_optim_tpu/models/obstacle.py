@@ -350,13 +350,42 @@ class ObstacleShapeOpt:
 
             self._ps_k = self.patchset if self.use_patch else _bps_k(hier)
 
-        # ---- assembled lattice NS Jacobian (ops.ns_patchjac) --------------
+        # ---- assembled NS Jacobian ----------------------------------------
+        # lattice blocks (ops.ns_patchjac) on brick meshes; per-element
+        # blocks (ops.ns_elljac) on unstructured .ugx meshes - the
+        # reference's own grids, where the matrix-free jvp/vjp fallback
+        # cost 312 ms/adjoint-iteration vs 30 on the lattice (ROADMAP r4)
         self.use_ns_jac = (
             self.use_patch_ns
             and cfg.vorder == 2
             and cfg.ns_assembled_jac != "off"
         )
-        if self.use_ns_jac:
+        self.use_ell_jac = (
+            not self.use_patch_ns
+            and cfg.vorder == 2
+            and cfg.ns_assembled_jac != "off"
+        )
+        if self.use_ell_jac:
+            from ..ops import ns_elljac as _elljac
+
+            _ewiring = _elljac.build_wiring(self.ns_space)
+            _isz_e = jnp.asarray(lvl.coords).dtype.itemsize
+            _need_e = _elljac.jac_memory_bytes(_ewiring, _isz_e)
+            if cfg.ns_assembled_jac == "on" or _need_e <= cfg.ns_jac_mem_cap:
+                self._ns_jac_builder = _elljac.make_assemble_fn(
+                    self.ns_space, _ewiring, stab=cfg.stab
+                )
+                self._ns_jv, self._ns_jtv = _elljac.make_matvec_fns(
+                    self.ns_space, _ewiring
+                )
+                _ell_bt = _elljac.make_bt_fn(self.ns_space, _ewiring)
+                self._ns_bt = lambda zp, W: _ell_bt(zp, W)
+                self._ns_b = _elljac.make_b_fn(self.ns_space, _ewiring)
+                # treat as assembled-Jacobian-enabled everywhere below
+                self.use_ns_jac = True
+            else:
+                self.use_ell_jac = False  # W would not fit; matrix-free jvp
+        elif self.use_ns_jac:
             from ..ops import ns_patchjac as _nsjac
             from ..solvers import patch_mg as _pmg_j
 
@@ -424,10 +453,14 @@ class ObstacleShapeOpt:
         else:
 
             def _vel_pre(X, s=None, adjoint=False, nu=None):
+                # with_transpose: store the exact A^T values per level so the
+                # vjp-transposed preconditioner of the adjoint solve
+                # (transpose_M) never emits a TPU scatter - the V-cycle's
+                # reverse sweep costs the same as its forward sweep
                 return ns_solver.ns_gmg_precond_data(
                     self.ns_space, self.pre_space, self.pre_struct, X,
                     cfg.visc if nu is None else nu,
-                    s=s, p2_iso=p2iso, adjoint=adjoint,
+                    s=s, p2_iso=p2iso, adjoint=adjoint, with_transpose=True,
                 )
 
             def _vel_M(pre_data):

@@ -144,10 +144,17 @@ class P1VectorSpace:
         fine_coords: jnp.ndarray,
         w_fine: jnp.ndarray,
         visc: float,
+        with_transpose: bool = False,
     ) -> MGData:
         """Per-level convection-diffusion operators (for the NS velocity
         block): nu*grad:grad + (w.grad u, v) with the frozen advecting
-        velocity w (d, V_fine) injected onto each level (prefix slicing)."""
+        velocity w (d, V_fine) injected onto each level (prefix slicing).
+
+        with_transpose=True additionally stores the exact in-pattern
+        transposed values per level (sparsity.transpose_values), giving
+        every spmv in the V-cycle a scatter-free custom transpose rule -
+        this makes jax.vjp of the cycle (the adjoint solve's transposed
+        preconditioner) cost the same as the forward cycle."""
         import jax
 
         from ..ops.convdiff import convdiff_elem_mats
@@ -155,17 +162,21 @@ class P1VectorSpace:
 
         if not hasattr(self, "_cd_jits"):
             self._cd_jits = {}
+        if with_transpose and not hasattr(self, "_tmaps"):
+            self._tmaps = [sparsity.transpose_map(p) for p in self.patterns]
         # visc enters the jitted kernels as a RUNTIME argument so a traced
         # viscosity (continuation ladder / preconditioner refresh inside a
         # jitted Newton body) reuses one compiled kernel per level
-        key = "cd"
+        key = ("cd", with_transpose)
         if key not in self._cd_jits:
             fns = []
             for l, pat in enumerate(self.patterns):
                 fixed_l = np.asarray(self.fixed[l])  # numpy: safe to cache
                 elems_l = np.asarray(self.hier.levels[l].elems)
+                tmap_l = self._tmaps[l] if with_transpose else None
 
-                def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l):
+                def make(l=l, pat=pat, fixed_l=fixed_l, elems_l=elems_l,
+                         tmap_l=tmap_l):
                     def fn(coords_l, w_l, visc):
                         em = convdiff_elem_mats(
                             coords_l, jnp.asarray(elems_l), w_l, visc,
@@ -176,7 +187,12 @@ class P1VectorSpace:
                         diag = sparsity.diag_cn(pat, vals).reshape(-1)
                         lmax = estimate_lmax(pat, vals, diag)
                         free = jnp.asarray(~fixed_l, vals.dtype).reshape(-1)
-                        return vals, diag, free, lmax
+                        vals_t = (
+                            sparsity.transpose_values(pat, vals, tmap_l)
+                            if tmap_l is not None
+                            else None
+                        )
+                        return vals, diag, free, lmax, vals_t
 
                     return jax.jit(fn)
 
@@ -187,9 +203,9 @@ class P1VectorSpace:
             )
             self._cd_jits[key] = (fns, base_fn)
         fns, base_fn = self._cd_jits[key]
-        vals_l, diag_l, free_l, lmax_l = [], [], [], []
+        vals_l, diag_l, free_l, lmax_l, vals_t_l = [], [], [], [], []
         for l in range(len(self.patterns)):
-            vals, diag, free, lmax = fns[l](
+            vals, diag, free, lmax, vals_t = fns[l](
                 fine_coords[: self.nv[l]], w_fine[:, : self.nv[l]],
                 jnp.asarray(visc, fine_coords.dtype),
             )
@@ -197,5 +213,9 @@ class P1VectorSpace:
             diag_l.append(diag)
             free_l.append(free)
             lmax_l.append(lmax)
+            vals_t_l.append(vals_t)
         base_inv = base_fn(vals_l[0])
-        return MGData(vals_l, diag_l, free_l, list(self.parents), lmax_l, base_inv)
+        return MGData(
+            vals_l, diag_l, free_l, list(self.parents), lmax_l, base_inv,
+            vals_t=vals_t_l if with_transpose else None,
+        )

@@ -175,6 +175,86 @@ def to_dense(pat: Pattern, vals: jnp.ndarray) -> jnp.ndarray:
     return dense.reshape(C * N, C * N)
 
 
+# ---- explicit transpose ---------------------------------------------------
+#
+# The adjoint NS solve preconditions J^T with the transpose of the forward
+# block preconditioner (solvers.ns_solver.transpose_M).  jax.vjp transposes
+# the gather-based spmv into a SCATTER-add - measured slow on TPU regardless
+# of index structure (docs/ROADMAP.md item 4c) - so the reverse sweep of a
+# V-cycle costs several times the forward cycle.  The fix: precompute the
+# within-pattern permutation that maps vals -> vals of A^T (ELL patterns
+# built from element connectivity are structurally symmetric), and give the
+# spmv a custom linear-transpose rule that applies the pre-transposed values
+# with the SAME gather-based kernel.  jax.vjp of any closure over the
+# operator then stays exact while never emitting a scatter.
+
+
+def transpose_map(pat: Pattern):
+    """Host-precomputed mapping for in-pattern transposition.
+
+    Returns (k_src (K, N) int32, n_src (K, N) int32, valid (K, N) bool):
+    ``vals_T[c, d, k, n] = vals[d, c, k_src, n_src]`` where valid, 0 on the
+    padding slots.  Requires the pattern to be structurally symmetric -
+    guaranteed for patterns built from element dof lists (every (i, j)
+    pairing appears with its (j, i) partner)."""
+    cols = np.asarray(pat.cols, dtype=np.int64)  # (K, N)
+    K, N = cols.shape
+    diag_k = np.asarray(pat.diag_k, dtype=np.int64)
+    nn = np.broadcast_to(np.arange(N, dtype=np.int64)[None, :], (K, N))
+    kk = np.broadcast_to(np.arange(K, dtype=np.int64)[:, None], (K, N))
+    valid = (cols != nn) | (kk == diag_k[None, :])
+    # real-slot lookup sorted by (row * N + col)
+    rows_r = nn[valid]
+    cols_r = cols[valid]
+    k_r = kk[valid]
+    skey = rows_r * N + cols_r
+    order = np.argsort(skey)
+    skey_s = skey[order]
+    k_s = k_r[order]
+    # query: transpose of slot (k, n) lives at row cols[k, n], col n
+    tkey = cols * N + nn
+    idx = np.searchsorted(skey_s, tkey.ravel()).reshape(K, N)
+    idx = np.clip(idx, 0, len(skey_s) - 1)
+    found = skey_s[idx] == tkey
+    if not np.all(found[valid]):
+        raise ValueError("pattern is not structurally symmetric")
+    k_src = np.where(valid, k_s[idx], 0)
+    n_src = np.where(valid, cols, 0)
+    return (
+        k_src.astype(np.int32),
+        n_src.astype(np.int32),
+        valid,
+    )
+
+
+def transpose_values(pat: Pattern, vals: jnp.ndarray, tmap=None) -> jnp.ndarray:
+    """vals (C, C, K, N) of A -> values of A^T in the same pattern."""
+    if tmap is None:
+        tmap = transpose_map(pat)
+    k_src, n_src, valid = tmap
+    vT = jnp.swapaxes(vals, 0, 1)[:, :, jnp.asarray(k_src), jnp.asarray(n_src)]
+    return jnp.where(jnp.asarray(valid)[None, None], vT, 0.0)
+
+
+def spmv_flat_pair(pat: Pattern, vals, vals_t, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x with a custom linear-transpose rule: the cotangent pass runs
+    the gather-based spmv on the pre-transposed values instead of XLA's
+    scatter transposition of the forward gather.  Numerically identical to
+    spmv_flat in both directions (the transpose is exact, not a surrogate).
+    """
+    from jax import custom_derivatives as _cd
+
+    def fwd(res, xx):
+        v, _ = res
+        return spmv_flat(pat, v, xx)
+
+    def trans(res, ct):
+        _, vt = res
+        return spmv_flat(pat, vt, ct)
+
+    return _cd.linear_call(fwd, trans, (vals, vals_t), x)
+
+
 # ---- field layout helpers -------------------------------------------------
 
 def to_flat(u_vc: jnp.ndarray) -> jnp.ndarray:

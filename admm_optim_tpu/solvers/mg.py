@@ -79,16 +79,28 @@ class MGData:
     parents: list  # per level l>=1: (V_l, 2) int32 into level l-1
     lmax: list  # per level: scalar Chebyshev upper bound
     base_inv: Any  # dense inverse of the level-0 operator
+    # optional per-level values of A^T (sparsity.transpose_values): when
+    # present, every spmv in the cycle carries a custom linear-transpose
+    # rule so jax.vjp of the V-cycle (the adjoint solve's transposed
+    # preconditioner, ns_solver.transpose_M) never emits a TPU scatter
+    vals_t: Any = None
 
     def tree_flatten(self):
         return (
-            (self.vals, self.diag, self.free, self.parents, self.lmax, self.base_inv),
+            (self.vals, self.diag, self.free, self.parents, self.lmax,
+             self.base_inv, self.vals_t),
             None,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def _spmv(pat, vals, vals_t, x):
+    if vals_t is None:
+        return sparsity.spmv_flat(pat, vals, x)
+    return sparsity.spmv_flat_pair(pat, vals, vals_t, x)
 
 
 def estimate_lmax(pat: Pattern, vals, diag, iters: int = 15) -> jnp.ndarray:
@@ -107,7 +119,7 @@ def estimate_lmax(pat: Pattern, vals, diag, iters: int = 15) -> jnp.ndarray:
 
 
 def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: float,
-                     x_is_zero: bool = False):
+                     x_is_zero: bool = False, vals_t=None):
     """Chebyshev(degree) iteration for A x = b preconditioned by diag,
     targeting the interval [lower*lmax, lmax].  x_is_zero (static): skip the
     first SpMV exactly (A.0 = 0), as in patch_mg.chebyshev_smooth_p."""
@@ -116,7 +128,7 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
     delta = 0.5 * (lmax - lmin)
     inv_d = 1.0 / jnp.maximum(diag, 1e-30)
 
-    r = b if x_is_zero else b - sparsity.spmv_flat(pat, vals, x)
+    r = b if x_is_zero else b - _spmv(pat, vals, vals_t, x)
     z = inv_d * r
     d_vec = z / theta
     x = x + d_vec
@@ -128,7 +140,7 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
 
     def body(i, carry):
         x, d_vec, sigma_old = carry
-        r = b - sparsity.spmv_flat(pat, vals, x)
+        r = b - _spmv(pat, vals, vals_t, x)
         z = inv_d * r
         sigma_new = 1.0 / (2.0 * theta / delta - sigma_old)
         d_vec = (2.0 * sigma_new / delta) * z + (sigma_new * sigma_old) * d_vec
@@ -141,14 +153,14 @@ def chebyshev_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, lower: f
 
 
 def jacobi_smooth(pat: Pattern, vals, diag, lmax, x, b, degree: int, omega: float = 0.7,
-                  x_is_zero: bool = False):
+                  x_is_zero: bool = False, vals_t=None):
     """Damped Jacobi, safe for the nonsymmetric convection-diffusion
     operators (Chebyshev assumes a real spectrum).  The damping is scaled by
     the power-iteration bound on D^-1 A."""
     inv_d = omega / (jnp.maximum(diag, 1e-30) * jnp.maximum(lmax, 1e-30))
 
     def body(i, x):
-        r = b - sparsity.spmv_flat(pat, vals, x)
+        r = b - _spmv(pat, vals, vals_t, x)
         return x + inv_d * r
 
     if x_is_zero and degree >= 1:
@@ -185,28 +197,30 @@ def vcycle(struct: MGStructure, data: MGData, b: jnp.ndarray, x0=None) -> jnp.nd
     C = struct.patterns[0].block
 
     if struct.smoother == "jacobi":
-        smooth = lambda pat, v, d, lm, x, b, deg, xz=False: jacobi_smooth(
-            pat, v, d, lm, x, b, deg, x_is_zero=xz)
+        smooth = lambda pat, v, d, lm, x, b, deg, xz=False, vt=None: jacobi_smooth(
+            pat, v, d, lm, x, b, deg, x_is_zero=xz, vals_t=vt)
     else:
-        smooth = lambda pat, v, d, lm, x, b, deg, xz=False: chebyshev_smooth(
-            pat, v, d, lm, x, b, deg, struct.cheb_lower, x_is_zero=xz
+        smooth = lambda pat, v, d, lm, x, b, deg, xz=False, vt=None: chebyshev_smooth(
+            pat, v, d, lm, x, b, deg, struct.cheb_lower, x_is_zero=xz, vals_t=vt
         )
 
     def solve_level(l, b_l, x_l, x_zero=False):
         pat = struct.patterns[l]
+        vt = data.vals_t[l] if data.vals_t is not None else None
         if l == 0:
             return data.base_inv @ b_l
         x_l = smooth(
             pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
-            struct.pre_smooth, x_zero
+            struct.pre_smooth, x_zero, vt
         )
-        r = (b_l - sparsity.spmv_flat(pat, data.vals[l], x_l)) * data.free[l]
+        r = (b_l - _spmv(pat, data.vals[l], vt, x_l)) * data.free[l]
         rc = restrict(data.parents[l - 1], r, struct.patterns[l - 1].n_rows, C)
         rc = rc * data.free[l - 1]
         ec = solve_level(l - 1, rc, jnp.zeros_like(rc), x_zero=True)
         x_l = x_l + prolong(data.parents[l - 1], ec, C) * data.free[l]
         x_l = smooth(
-            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l, struct.post_smooth
+            pat, data.vals[l], data.diag[l], data.lmax[l], x_l, b_l,
+            struct.post_smooth, False, vt
         )
         return x_l
 

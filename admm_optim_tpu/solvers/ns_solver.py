@@ -413,7 +413,8 @@ def shape_gradient(space, coords, s, lam, visc, stab, obstacle_vmask):
 
 
 def ns_gmg_precond_data(
-    ns_space, pre_space, pre_struct, coords, visc, s=None, p2_iso=True, adjoint=False
+    ns_space, pre_space, pre_struct, coords, visc, s=None, p2_iso=True,
+    adjoint=False, with_transpose=False,
 ):
     """Assemble the data of the GMG block preconditioner for the NS Jacobian.
 
@@ -444,7 +445,9 @@ def ns_gmg_precond_data(
     else:
         w, _ = ns_space.unpack(s)
         w = -w if adjoint else w
-        pre_data = pre_space.assemble_mg_convdiff(pre_struct, Xf, w, visc)
+        pre_data = pre_space.assemble_mg_convdiff(
+            pre_struct, Xf, w, visc, with_transpose=with_transpose
+        )
     pdiag = nsops.pressure_mass_lumped(ns_space, coords, visc)
     return pre_data, pdiag
 
