@@ -22,6 +22,7 @@ algebraically absorbed by the consistent KKT formulation in optim.admm.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Callable
 
@@ -677,6 +678,30 @@ class ObstacleShapeOpt:
         self._adj_start = jax.jit(_adj_start_impl)
         self._adj_chunk = jax.jit(_adj_chunk_impl)
         self._adj_finish = jax.jit(_krylov.gmres_chunk_finish)
+
+        # GCRO-DR recycling (krylov.gcro_*): the adjoint operator drifts
+        # slowly across optimization steps, so the slow modes its restarted
+        # cycles keep re-discovering are carried in a recycle space U
+        # (harmonic Ritz vectors), re-imaged against the current operator
+        # at the cost of adj_recycle_k plain applies per step
+        def _adj_prepare_impl(X, s, U, m_args):
+            Jt, _, _ = _adj_wiring(X, s, m_args)
+            return _krylov.gcro_prepare(Jt, U)
+
+        def _adj_start_defl_impl(X, s, x, U, C, m_args):
+            Jt, _, gJ = _adj_wiring(X, s, m_args)
+            return _krylov.gcro_chunk_start(Jt, -gJ, x, U, C, self._adj_rl)
+
+        def _adj_chunk_defl_impl(X, s, C, V, Z, H, B, beta, j0, m_args):
+            Jt, MT, _ = _adj_wiring(X, s, m_args)
+            return _krylov.gcro_chunk_arnoldi(
+                Jt, MT, C, V, Z, H, B, beta, j0, self._adj_ch
+            )
+
+        self._adj_prepare = jax.jit(_adj_prepare_impl)
+        self._adj_start_defl = jax.jit(_adj_start_defl_impl)
+        self._adj_chunk_defl = jax.jit(_adj_chunk_defl_impl)
+        self._adj_finish_defl = jax.jit(_krylov.gcro_chunk_finish)
         self._adj_gj_norm = jax.jit(
             lambda X, s: jnp.linalg.norm(
                 jax.grad(
@@ -726,35 +751,91 @@ class ObstacleShapeOpt:
             budget = 4 * ncfg.lin_max_iters
             rn = jnp.asarray(jnp.inf, s.dtype)
             beta_prev = None
+            k_r = max(0, int(getattr(ncfg, "adj_recycle_k", 0)))
+            # harmonic Ritz quality needs the cycle length to dwarf the
+            # recycle dimension: at rl/k < 8 the selected directions are
+            # noise and deflating them perturbs the restart path for no
+            # gain (measured: 2D refs=1 fixture at rl=24/k=6 took MORE
+            # iterations recycled than plain)
+            if self._adj_rl < 8 * k_r:
+                k_r = 0
+            U = C = None
+            if (
+                k_r > 0
+                and self._cur_adj_U is not None
+                and self._cur_adj_U.shape[0] == k_r
+            ):
+                tc = _t()
+                U, C = self._adj_prepare(X, s, self._cur_adj_U, m_args)
+                jax.block_until_ready(C)
+                total += k_r  # k plain applies (no M): charged to the budget
+                if dbg:
+                    _p(f"recycle prepare k={k_r} {_t() - tc:.2f}s")
             while True:
                 tc = _t()
-                V, Z, H, beta = self._adj_start(X, s, x, m_args)
+                if U is not None:
+                    x_p, V, Z, H, B, beta = self._adj_start_defl(
+                        X, s, x, U, C, m_args
+                    )
+                else:
+                    V, Z, H, beta = self._adj_start(X, s, x, m_args)
+                    B, x_p = None, x
                 rn = beta
                 bf = float(beta)
                 if dbg:
-                    _p(f"start {_t() - tc:.2f}s beta {bf:.3e}")
+                    _p(f"start {_t() - tc:.2f}s beta {bf:.3e}"
+                       + (" [defl]" if U is not None else ""))
                 if bf <= target or total >= budget:
+                    x = x_p
                     break
                 if beta_prev is not None and not (
                     bf < beta_prev * (1.0 - 1e-6)
                 ):
-                    break  # cycle stagnated (f32 floor); keep best iterate
+                    # cycle stagnated (f32 floor); keep the iterate beta was
+                    # measured at (the U-projection never grows the residual)
+                    x = x_p
+                    break
                 beta_prev = bf
+                x = x_p
                 j, est = 0, beta
                 while j < self._adj_rl and float(est) > target and total < budget:
                     tc = _t()
-                    V, Z, H, est = self._adj_chunk(
-                        X, s, V, Z, H, beta, jnp.asarray(j, jnp.int32), m_args
-                    )
+                    if U is not None:
+                        V, Z, H, B, est = self._adj_chunk_defl(
+                            X, s, C, V, Z, H, B, beta,
+                            jnp.asarray(j, jnp.int32), m_args,
+                        )
+                    else:
+                        V, Z, H, est = self._adj_chunk(
+                            X, s, V, Z, H, beta, jnp.asarray(j, jnp.int32),
+                            m_args,
+                        )
                     j += self._adj_ch
                     total += self._adj_ch
                     if dbg:
                         _p(f"chunk j={j} {_t() - tc:.2f}s est {float(est):.3e}")
                 tc = _t()
-                x = self._adj_finish(x, Z, H, beta)
+                if U is not None:
+                    x = self._adj_finish_defl(x, Z, H, B, beta, U)
+                else:
+                    x = self._adj_finish(x, Z, H, beta)
                 jax.block_until_ready(x)
                 if dbg:
                     _p(f"finish {_t() - tc:.2f}s")
+                if k_r > 0:
+                    tc = _t()
+                    Un, Cn = _krylov.gcro_update_recycle(
+                        U, C, V, Z, H, B, k_r, j
+                    )
+                    # keep the jitted kernels' shapes stable: only adopt a
+                    # full-rank refresh (rank loss here is degenerate)
+                    if Un.shape[0] == k_r:
+                        U, C = Un, Cn
+                    if dbg:
+                        _p(f"recycle update {_t() - tc:.2f}s "
+                           f"k={int(Un.shape[0])}")
+            if k_r > 0 and U is not None:
+                self._cur_adj_U = U
             return x, rn, jnp.asarray(total, jnp.int32)
 
         self._adjoint_stepped_fn = _adjoint_stepped
@@ -787,6 +868,11 @@ class ObstacleShapeOpt:
 
             _stepped_kw = {}
 
+        # forward GCRO-DR recycle space, carried across Newton iterates,
+        # continuation rungs, and optimization steps (newton_solve_stepped
+        # re-images it per iterate)
+        self._ns_recycle = {}
+
         def _ns_solve(X, s0, visc=None, verbose=False):
             nu = cfg.visc if visc is None else visc
             if self._ns_stepped or verbose:
@@ -795,7 +881,7 @@ class ObstacleShapeOpt:
                     M_fn=_M_fn, m_args=_pre_full(X, s0, nu),
                     pre_fn=lambda s: _pre_full(X, s, nu),
                     step_jit_cache=self._ns_step_cache,
-                    verbose=verbose,
+                    verbose=verbose, recycle=self._ns_recycle,
                     **_stepped_kw,
                 )
             return self._ns_solve_pre(X, s0, nu)
@@ -947,6 +1033,7 @@ class ObstacleShapeOpt:
         self._admm = _admm_dispatch
         self._cur_s = None
         self._cur_lam_adj = None
+        self._cur_adj_U = None  # GCRO-DR recycle space, carried across steps
         # element-inversion check must be relative to the undeformed mesh's
         # orientation (brick/Kuhn meshes carry mixed signed orientations)
         _s0 = jnp.sign(elem_geometry(self.X0, self.elems)[1])
@@ -991,6 +1078,51 @@ class ObstacleShapeOpt:
         g = nsops.inlet_values(self.ns_space, X)
         return self.ns_space.pack(g, jnp.zeros(self.ns_space.n_pressure))
 
+    # ---- warm-state sidecar -------------------------------------------
+    # The supervisor restarts the process on every tunnel fault; without
+    # this, each restart cold-starts the adjoint (zeros initial guess, no
+    # recycle space) and re-pays the full first-solve Krylov cost.  Saved
+    # SEPARATELY from checkpoint.npz: it is a pure accelerator (results
+    # are identical without it) and ~50 MB at flagship size, so it stays
+    # out of the committed trajectory records.
+    def _save_warm_sidecar(self, checkpoint_path: str) -> None:
+        try:
+            arrs = {}
+            if self._cur_lam_adj is not None:
+                arrs["lam_adj"] = np.asarray(self._cur_lam_adj)
+            if self._cur_adj_U is not None:
+                arrs["adj_U"] = np.asarray(self._cur_adj_U)
+            ns_u = self._ns_recycle.get("U")
+            if ns_u is not None:
+                arrs["ns_U"] = np.asarray(ns_u)
+            if not arrs:
+                return
+            tmp = checkpoint_path + ".warm.tmp.npz"
+            np.savez(tmp, **arrs)
+            os.replace(tmp, checkpoint_path + ".warm.npz")
+        except Exception as e:  # noqa: BLE001 - never fail a step on this
+            print(f"warm sidecar save failed ({e!r})", flush=True)
+
+    def _load_warm_sidecar(self, checkpoint_path: str) -> None:
+        path = checkpoint_path + ".warm.npz"
+        if not os.path.exists(path):
+            return
+        try:
+            with np.load(path) as z:
+                n = int(self.ns_space.n_state)
+                if "lam_adj" in z and z["lam_adj"].shape == (n,):
+                    self._cur_lam_adj = jnp.asarray(z["lam_adj"])
+                if "adj_U" in z and z["adj_U"].shape[-1:] == (n,):
+                    self._cur_adj_U = jnp.asarray(z["adj_U"])
+                if "ns_U" in z and z["ns_U"].shape[-1:] == (n,):
+                    self._ns_recycle["U"] = jnp.asarray(z["ns_U"])
+            print(
+                f"warm sidecar restored ({', '.join(sorted(z.files))})",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(f"warm sidecar load failed ({e!r})", flush=True)
+
     def run(
         self,
         num_steps: int | None = None,
@@ -1024,6 +1156,8 @@ class ObstacleShapeOpt:
             sigma = float(resume["sigma"])
             drag_old = float(resume["drag_old"])
             start_step = int(resume["step"]) + 1
+            if checkpoint_path is not None:
+                self._load_warm_sidecar(checkpoint_path)
             # restore the accepted-step history so telemetry files stay
             # contiguous across restarts (one __Drag.txt for the whole run)
             if "history_json" in resume:
@@ -1341,6 +1475,7 @@ class ObstacleShapeOpt:
                             "failures_json": _json.dumps(failures),
                         },
                     )
+                    self._save_warm_sidecar(checkpoint_path)
                 if callback is not None:
                     callback(step, X, s, rec)
                 if profiler is not None and verbose:

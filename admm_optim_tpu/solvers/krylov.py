@@ -369,3 +369,307 @@ def gmres_chunk_finish(x0, Z, H, beta):
     e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta)
     y = jnp.linalg.lstsq(H, e1)[0]
     return x0 + Z.T @ y
+
+
+# ---- recycled deflation (GCRO-DR) over the chunked cycle ---------------------
+#
+# The flagship adjoint/forward solves are RESTARTED FGMRES on slowly-varying
+# operators (the transposed NS Jacobian across optimization steps, the
+# Jacobian across Newton iterates).  Each restart throws the Krylov space
+# away and each new step/iterate starts from scratch, so the slow modes of
+# the preconditioned spectrum are re-discovered over and over (~800
+# adjoint iterations per step at 3D refs=2 visc=0.02).  These helpers add
+# subspace recycling in the GCRO-DR family [Parks, de Sturler, Mackey,
+# Johnson, Maiti, SIAM J. Sci. Comput. 28 (2006)] on top of the chunked
+# cycle machinery above:
+#
+#   - a recycle space U (k, n) of approximate slow eigendirections with its
+#     exact image C = A U (rows orthonormal, C ⊥ V);
+#   - each Arnoldi step deflates C out of the new direction, so the cycle
+#     builds a Krylov space for (I - C C^T) A M and the residual stays
+#     orthogonal to span(C);
+#   - the minimization runs over span(U) + span(Z): the U-correction in
+#     gcro_chunk_finish cancels the C-components that A Z reintroduces
+#     (A Z^T = C^T B + V^T H);
+#   - at cycle end, harmonic Ritz vectors of A over span([U, Z]) (the
+#     generalized pencil G^T G g = theta G^T W g, solved on the HOST - the
+#     pencil is (k+m)-dimensional) select the k best directions to carry
+#     into the next cycle - and, via gcro_prepare, into the next SOLVE
+#     against the drifted operator.
+#
+# Storage is row-major like the cycle machinery: U, C are (k, n);
+# A U^T = C^T holds column-wise.
+
+
+def gcro_prepare(A, U):
+    """Re-image a recycle space against the CURRENT operator: C_raw = A U,
+    thin-QR C_raw^T = Q R, so that A (U^T R^{-1}) = Q.  Returns (U', C')
+    with C' row-orthonormal and A U'^T = C'^T exactly (costs k applies of
+    A; no preconditioner applies)."""
+    C = jax.lax.map(A, U)
+    Q, R = jnp.linalg.qr(C.T)
+    Un = jax.scipy.linalg.solve_triangular(R.T, U, lower=True)
+    return Un, Q.T
+
+
+def gcro_chunk_start(A, b, x0, U, C, m):
+    """Begin one deflated cycle: project the C-component of the residual
+    into the iterate (x += U^T C r; r -= C^T C r), then set up the bases.
+    Returns (x, V, Z, H, B, beta) with beta = |r| AFTER projection (the
+    true residual norm at the returned x)."""
+    r = b - A(x0)
+    al = C @ r
+    x = x0 + U.T @ al
+    r = r - C.T @ al
+    beta = _norm(r)
+    n = b.shape[0]
+    k = U.shape[0]
+    dtype = b.dtype
+    V = jnp.zeros((m + 1, n), dtype).at[0].set(r / jnp.maximum(beta, 1e-30))
+    Z = jnp.zeros((m, n), dtype)
+    H = jnp.zeros((m + 1, m), dtype)
+    B = jnp.zeros((k, m), dtype)
+    return x, V, Z, H, B, beta
+
+
+def gcro_chunk_arnoldi(A, M, C, V, Z, H, B, beta, j0, nsteps: int):
+    """Arnoldi steps j0..j0+nsteps-1 of the deflated cycle: each new
+    direction w = A M v_j first has its C-component removed (recorded in
+    B[:, j]), then MGS + one reorthogonalization against V, identical to
+    gmres_chunk_arnoldi.  The lstsq estimate is the exact GMRES residual
+    of the deflated system (the C-components cancel at finish)."""
+    m = H.shape[1]
+
+    def step(j, carry):
+        V, Z, H, B = carry
+        z = M(V[j])
+        w = A(z)
+        # C participates in BOTH orthogonalization passes: a single
+        # deflation projection lets C-components regrow through the V
+        # projections (measured ~1e-6 by cycle end in f64)
+        b1 = C @ w
+        w = w - C.T @ b1
+        h1 = V @ w
+        w = w - V.T @ h1
+        b2 = C @ w
+        w = w - C.T @ b2
+        h2 = V @ w
+        w = w - V.T @ h2
+        bj = b1 + b2
+        h = h1 + h2
+        wn = _norm(w)
+        V = V.at[j + 1].set(w / jnp.maximum(wn, 1e-30))
+        H = H.at[:, j].set(h)
+        H = H.at[j + 1, j].set(wn)
+        Z = Z.at[j].set(z)
+        B = B.at[:, j].set(bj)
+        return (V, Z, H, B)
+
+    V, Z, H, B = jax.lax.fori_loop(j0, j0 + nsteps, step, (V, Z, H, B))
+    e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta)
+    y = jnp.linalg.lstsq(H, e1)[0]
+    est = _norm(H @ y - e1)
+    return V, Z, H, B, est
+
+
+def gcro_chunk_finish(x0, Z, H, B, beta, U):
+    """Close the deflated cycle: y minimizes |beta e1 - H y|; the iterate
+    update Z^T y reintroduces C-components (A Z^T = C^T B + V^T H), which
+    the recycle-space correction -U^T (B y) cancels exactly, so the new
+    residual is r - V^T H y (norm == the lstsq estimate in exact
+    arithmetic)."""
+    m = H.shape[1]
+    e1 = jnp.zeros(m + 1, H.dtype).at[0].set(beta)
+    y = jnp.linalg.lstsq(H, e1)[0]
+    return x0 + Z.T @ y - U.T @ (B @ y)
+
+
+def gcro_recycle_select(H, B, CU, CZ, VU, VZ, k_new: int, j: int):
+    """HOST-side harmonic Ritz selection over span([U, Z[:j]]).
+
+    With D = [U^T, Z^T] and A D = [C^T, V^T] G, G = [[I_k, B], [0, H]],
+    the harmonic Ritz condition (A D)^T (A D g - theta D g) = 0 becomes the
+    small generalized pencil  (G^T G) g = theta (G^T W) g  with
+    W = [[C U^T, C Z^T], [V U^T, V Z^T]]  ([C; V] row-orthonormal and
+    mutually orthogonal by construction).  Deflating the smallest |theta|
+    removes the slowest surviving modes.  Complex pairs contribute their
+    real and imaginary parts; rank reduction by pivoted QR.
+
+    Inputs are NUMPY arrays (the pencil is (k+j)-dimensional - host work);
+    j = number of FILLED Arnoldi columns.  Returns (coef_D, coef_C):
+    coefficient matrices such that the new space is
+        U' = coef_D[:k]^T @ U + coef_D[k:]^T @ Z[:j]
+        C' = coef_C[:k]^T @ C + coef_C[k:]^T @ V[:j+1]
+    with A U'^T = C'^T exact and C' row-orthonormal (in exact arithmetic).
+    """
+    import numpy as np
+    import scipy.linalg as sla
+
+    k = B.shape[0]
+    Hj = np.asarray(H, np.float64)[: j + 1, :j]
+    Bj = np.asarray(B, np.float64)[:, :j]
+    G = np.zeros((k + j + 1, k + j))
+    G[:k, :k] = np.eye(k)
+    G[:k, k:] = Bj
+    G[k:, k:] = Hj
+    W = np.zeros((k + j + 1, k + j))
+    W[:k, :k] = np.asarray(CU, np.float64)
+    W[:k, k:] = np.asarray(CZ, np.float64)[:, :j]
+    W[k:, :k] = np.asarray(VU, np.float64)[: j + 1]
+    W[k:, k:] = np.asarray(VZ, np.float64)[: j + 1, :j]
+    lhs = G.T @ G
+    rhs = G.T @ W
+    theta, g = sla.eig(lhs, rhs)
+    finite = np.isfinite(theta)
+    theta = np.where(finite, theta, np.inf)
+    order = np.argsort(np.abs(theta))
+    cols = []
+    for i in order[: 2 * k_new]:
+        if not np.isfinite(theta[i]):
+            break
+        v = g[:, i]
+        cols.append(v.real)
+        if np.abs(v.imag).max() > 0:
+            cols.append(v.imag)
+    if not cols:
+        return None
+    P = np.stack(cols, axis=1)
+    q, r, _ = sla.qr(P, pivoting=True, mode="economic")
+    rd = np.abs(np.diag(r))
+    rank = int((rd > max(rd[0], 1e-300) * 1e-10).sum())
+    kk = min(k_new, rank)
+    if kk == 0:
+        return None
+    Gsel = q[:, :kk]
+    # exact images in the [C; V] frame, orthonormalized through the SMALL
+    # factor (S = Qs Rs with [C; V] row-orthonormal => C' = Qs^T [C; V]
+    # is row-orthonormal and A (D Gsel Rs^{-1}) = [C; V]^T Qs)
+    S = G @ Gsel
+    Qs, Rs = np.linalg.qr(S)
+    coef_D = sla.solve_triangular(Rs.T, Gsel.T, lower=True).T
+    # pad back to full (k+m[, +1]) coefficient shapes so callers need no
+    # dynamic slicing on device
+    m = H.shape[1]
+    cD = np.zeros((k + m, kk))
+    cD[: k + j] = coef_D
+    cC = np.zeros((k + m + 1, kk))
+    cC[:k] = Qs[:k]
+    cC[k : k + j + 1] = Qs[k:]
+    return cD, cC
+
+
+def gcro_recycle_build(U, C, V, Z, coef_D, coef_C):
+    """Assemble the new recycle space from host-selected coefficients
+    (device GEMMs; eager - shapes vary with the filled length)."""
+    k = U.shape[0]
+    cD = jnp.asarray(coef_D, U.dtype)
+    cC = jnp.asarray(coef_C, U.dtype)
+    Un = cD[:k].T @ U + cD[k:].T @ Z
+    Cn = cC[:k].T @ C + cC[k:].T @ V
+    return Un, Cn
+
+
+def gcro_overlaps(U, C, V, Z):
+    """The four cross-Gram blocks of the harmonic Ritz pencil (device)."""
+    return C @ U.T, C @ Z.T, V @ U.T, V @ Z.T
+
+
+def gcro_update_recycle(U, C, V, Z, H, B, k: int, j: int):
+    """One recycle-space refresh from a finished (possibly partial) cycle:
+    harmonic Ritz selection on the host, assembly on the device.  U may be
+    None / empty (first cycle: candidates come from span(Z) alone).
+    Returns (U', C') or (U, C) unchanged if selection degenerates."""
+    import numpy as np
+
+    m = H.shape[1]
+    n = Z.shape[1]
+    if U is None or U.shape[0] == 0:
+        U = jnp.zeros((0, n), Z.dtype)
+        C = jnp.zeros((0, n), Z.dtype)
+    if B is None:
+        B = jnp.zeros((0, m), Z.dtype)
+    if j <= 1:
+        return U, C
+    CU, CZ, VU, VZ = gcro_overlaps(U, C, V, Z)
+    sel = gcro_recycle_select(
+        np.asarray(H), np.asarray(B), np.asarray(CU), np.asarray(CZ),
+        np.asarray(VU), np.asarray(VZ), k, j,
+    )
+    if sel is None:
+        return U, C
+    return gcro_recycle_build(U, C, V, Z, *sel)
+
+
+def gcro_solve(
+    A: Callable,
+    b: jnp.ndarray,
+    x0: jnp.ndarray | None = None,
+    M: Callable | None = None,
+    restart: int = 40,
+    max_iters: int = 400,
+    abs_tol: float = 1e-12,
+    rel_tol: float = 0.0,
+    recycle_k: int = 16,
+    U0: jnp.ndarray | None = None,
+    chunk: int | None = None,
+) -> tuple:
+    """Restarted FGMRES with GCRO-DR subspace recycling (host-stepped
+    reference implementation; the production flagship path re-implements
+    this loop over jitted chunk kernels in models/obstacle.py).
+
+    Returns (SolveResult, U): U is the recycle space to pass as U0 when
+    solving the next system of a slowly-varying sequence (gcro_prepare
+    re-images it against the new operator at the cost of k plain applies).
+    Residual semantics match gmres(): stop at max(abs_tol, rel_tol*|r0|).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if M is None:
+        M = lambda r: r
+    m = restart
+    x = x0
+    r0n = float(_norm(b - A(x0)))
+    tol = max(abs_tol, rel_tol * r0n)
+    U = C = None
+    if U0 is not None and U0.shape[0] > 0:
+        U, C = gcro_prepare(A, U0)
+    total = 0
+    beta_prev = None
+    rn = jnp.asarray(r0n, b.dtype)
+    while True:
+        if U is not None and U.shape[0] > 0:
+            x_p, V, Z, H, B, beta = gcro_chunk_start(A, b, x, U, C, m)
+        else:
+            V, Z, H, beta = gmres_chunk_start(A, b, x, m)
+            B, x_p = None, x
+        rn = beta
+        bf = float(beta)
+        if bf <= tol or total >= max_iters:
+            x = x_p
+            break
+        if beta_prev is not None and not (bf < beta_prev * (1.0 - 1e-6)):
+            break  # stagnated; keep the previous (better) iterate
+        beta_prev = bf
+        x = x_p
+        j, est = 0, beta
+        step_sz = m if chunk is None else max(1, int(chunk))
+        while j < m and float(est) > tol and total < max_iters:
+            ns = min(step_sz, m - j)
+            if B is not None:
+                V, Z, H, B, est = gcro_chunk_arnoldi(
+                    A, M, C, V, Z, H, B, beta, jnp.asarray(j, jnp.int32), ns
+                )
+            else:
+                V, Z, H, est = gmres_chunk_arnoldi(
+                    A, M, V, Z, H, beta, jnp.asarray(j, jnp.int32), ns
+                )
+            j += ns
+            total += ns
+        if B is not None:
+            x = gcro_chunk_finish(x, Z, H, B, beta, U)
+        else:
+            x = gmres_chunk_finish(x, Z, H, beta)
+        if recycle_k > 0:
+            U, C = gcro_update_recycle(U, C, V, Z, H, B, recycle_k, j)
+    rt = _norm(b - A(x))
+    return SolveResult(x, jnp.asarray(total, jnp.int32), rt, rt <= tol), U

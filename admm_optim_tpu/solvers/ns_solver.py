@@ -71,6 +71,17 @@ class NewtonConfig:
     # monolithic cycle always ran its full restart length, overshooting by
     # up to restart-1 iterations per Newton step
     lin_exec_chunk: int = 50
+    # GCRO-DR recycle-space dimension for the host-chunked ADJOINT solve
+    # (krylov.gcro_*): harmonic Ritz vectors of the transposed Jacobian
+    # carried across restart cycles AND across optimization steps (the
+    # operator drifts slowly with the shape), deflating the slow modes
+    # the restarted cycles kept re-discovering.  0 disables.
+    adj_recycle_k: int = 24
+    # same for the FORWARD stepped Newton's linear solves: the recycle
+    # space is re-imaged per Newton iterate (k Jacobian applies - cheap
+    # with the assembled blocks) and carried across iterates and, via the
+    # caller's recycle dict, across optimization steps.  0 disables.
+    lin_recycle_k: int = 16
 
 
 def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
@@ -190,6 +201,7 @@ def newton_solve_stepped(
     step_jit_cache: dict | None = None,
     verbose: bool = False,
     pre_fn=None,
+    recycle: dict | None = None,
     jac_builder=None,
     jv_fn=None,
     jv_from_m=False,
@@ -272,6 +284,34 @@ def newton_solve_stepped(
 
             return gmres_chunk_finish(x, Z, H, beta)
 
+        def lin_prepare(coords, s, visc, U, m_args):
+            from .krylov import gcro_prepare
+
+            _, Jv, _ = _wiring(coords, s, visc, m_args)
+            return gcro_prepare(Jv, U)
+
+        def lin_start_defl(coords, s, visc, x, U, C, m_args):
+            from .krylov import gcro_chunk_start
+
+            R, Jv, _ = _wiring(coords, s, visc, m_args)
+            rl = _chunked_rl(cfg, s.size, s.dtype.itemsize)
+            return gcro_chunk_start(Jv, -R(s), x, U, C, rl)
+
+        def lin_chunk_defl(coords, s, visc, C, V, Z, H, B, beta, j0, m_args):
+            from .krylov import gcro_chunk_arnoldi
+
+            _, Jv, Mx = _wiring(coords, s, visc, m_args)
+            return gcro_chunk_arnoldi(
+                Jv, Mx, C, V, Z, H, B, beta, j0,
+                min(cfg.lin_exec_chunk,
+                    _chunked_rl(cfg, s.size, s.dtype.itemsize)),
+            )
+
+        def lin_finish_defl(x, Z, H, B, beta, U):
+            from .krylov import gcro_chunk_finish
+
+            return gcro_chunk_finish(x, Z, H, B, beta, U)
+
         def ls_step(coords, s, visc, delta, nrm):
             def R(ss):
                 return nsops.ns_residual(space, coords, ss, visc, stab)
@@ -299,14 +339,23 @@ def newton_solve_stepped(
         cache[key] = (
             jax.jit(lin_start), jax.jit(lin_chunk), jax.jit(lin_finish),
             jax.jit(ls_step), jax.jit(resnorm),
+            jax.jit(lin_prepare), jax.jit(lin_start_defl),
+            jax.jit(lin_chunk_defl), jax.jit(lin_finish_defl),
         )
-    start_fn, chunk_fn, finish_fn, ls_fn, resnorm_fn = cache[key]
+    (start_fn, chunk_fn, finish_fn, ls_fn, resnorm_fn,
+     prep_fn, start_defl_fn, chunk_defl_fn, finish_defl_fn) = cache[key]
 
     rl = _chunked_rl(cfg, s0.size, s0.dtype.itemsize)
     ch = min(max(1, int(cfg.lin_exec_chunk)), rl)
     nrm = float(resnorm_fn(coords, s0, visc))
     s = s0
     it = 0
+    k_r = max(0, int(getattr(cfg, "lin_recycle_k", 0)))
+    if rl < 8 * k_r:
+        # harmonic Ritz directions from short cycles are noise; deflating
+        # them can slow the restart path (see obstacle._adjoint_stepped)
+        k_r = 0
+    U_carry = recycle.get("U") if recycle is not None else None
     while nrm > cfg.abs_tol and it < cfg.max_iters:
         if pre_fn is not None and it > 0:
             m_args = pre_fn(s)
@@ -316,24 +365,58 @@ def newton_solve_stepped(
         x = jnp.zeros_like(s)
         lin_its = 0
         beta_prev = None
+        U = C = None
+        if k_r > 0 and U_carry is not None and U_carry.shape[0] == k_r:
+            # re-image the recycle space against THIS iterate's Jacobian
+            # (k plain applies; charged to the linear budget)
+            U, C = prep_fn(coords, s, visc, U_carry, m_args)
+            lin_its += k_r
         while lin_its < cfg.lin_max_iters:
-            V, Z, H, beta = start_fn(coords, s, visc, x, m_args)
+            if U is not None:
+                x_p, V, Z, H, B, beta = start_defl_fn(
+                    coords, s, visc, x, U, C, m_args
+                )
+            else:
+                V, Z, H, beta = start_fn(coords, s, visc, x, m_args)
+                B, x_p = None, x
             if float(beta) <= target:
+                x = x_p
                 break
             if beta_prev is not None and not (
                 float(beta) < beta_prev * (1.0 - 1e-6)
             ):
-                break  # restart cycle stagnated (f32 floor); keep iterate
+                # restart cycle stagnated (f32 floor); the U-projection in
+                # x_p never grows the residual beta was measured at
+                x = x_p
+                break
             beta_prev = float(beta)
+            x = x_p
             j, est = 0, beta
             while j < rl and float(est) > target and lin_its < cfg.lin_max_iters:
-                V, Z, H, est = chunk_fn(
-                    coords, s, visc, V, Z, H, beta,
-                    jnp.asarray(j, jnp.int32), m_args,
-                )
+                if U is not None:
+                    V, Z, H, B, est = chunk_defl_fn(
+                        coords, s, visc, C, V, Z, H, B, beta,
+                        jnp.asarray(j, jnp.int32), m_args,
+                    )
+                else:
+                    V, Z, H, est = chunk_fn(
+                        coords, s, visc, V, Z, H, beta,
+                        jnp.asarray(j, jnp.int32), m_args,
+                    )
                 j += ch
                 lin_its += ch
-            x = finish_fn(x, Z, H, beta)
+            if U is not None:
+                x = finish_defl_fn(x, Z, H, B, beta, U)
+            else:
+                x = finish_fn(x, Z, H, beta)
+            if k_r > 0:
+                from .krylov import gcro_update_recycle
+
+                Un, Cn = gcro_update_recycle(U, C, V, Z, H, B, k_r, j)
+                if Un.shape[0] == k_r:  # keep jitted kernel shapes stable
+                    U, C = Un, Cn
+        if U is not None:
+            U_carry = U
         s_new, nrm_new = ls_fn(coords, s, visc, x, jnp.asarray(nrm, s0.dtype))
         nrm_new = float(nrm_new)
         if verbose:
@@ -343,6 +426,8 @@ def newton_solve_stepped(
         it += 1
         if stalled:
             break
+    if recycle is not None:
+        recycle["U"] = U_carry
     return (
         s,
         jnp.asarray(it, jnp.int32),

@@ -92,7 +92,8 @@ if getattr(model, "use_ns_jac", False):
           f"({t_compile:.1f}s incl compile); "
           f"{W.size*W.dtype.itemsize/1e6:.0f} MB", flush=True)
 
-for rep in range(2):
+REPS = int(os.environ.get("REF5_REPS", "2"))
+for rep in range(REPS):
     t = time.perf_counter()
     lam, rn, its = model._adjoint(X, s)
     jax.block_until_ready(lam)
