@@ -1334,7 +1334,13 @@ class ObstacleShapeOpt:
                         print(f"step {step}: mesh tangled, sigma -> {sigma}")
                     continue
                 with prof.phase("ns_solve"):
-                    s_new, nit, nnrm, nconv = self._ns_solve(X_new, s)
+                    # per-Newton ConvCheck lines on the stepped path (the
+                    # reference prints each Newton step too,
+                    # obstacle_optim_util.lua:71-97); verbose only ADDS
+                    # prints when the stepped driver is already active
+                    s_new, nit, nnrm, nconv = self._ns_solve(
+                        X_new, s, verbose=self._ns_stepped
+                    )
                 if cfg.debug_nans:
                     debug.check_finite("ns_solve", s=s_new)
                 if not bool(nconv):
