@@ -82,6 +82,16 @@ class NewtonConfig:
     # with the assembled blocks) and carried across iterates and, via the
     # caller's recycle dict, across optimization steps.  0 disables.
     lin_recycle_k: int = 16
+    # relative stall threshold: stop Newton when an iteration reduces |R|
+    # by less than this fraction.  A crawl below 0.1%/iteration never
+    # reaches any tolerance (0.999^50 = 0.95 total) - it is the f32
+    # residual floor.  Measured on the flagship stationarity tail
+    # (3D refs=2 visc=0.02, warm start one step from the floor): the old
+    # exact-equality guard (1e-14) let Newton burn 8 extra iterations
+    # pinned at |R| = 3.73e-06, each paying the k-apply recycle re-image
+    # plus a full acceptBest line search, ~140-160 s/solve; the relative
+    # guard exits after one such iteration.
+    stall_rtol: float = 1e-3
 
 
 def _restart_len(cfg: NewtonConfig, n_state: int, itemsize: int,
@@ -179,7 +189,7 @@ def newton_solve(
         r = R(s)
         delta = lin_solve(s, r)
         s_new, nrm_new = line_search(s, delta, nrm)
-        stalled = nrm_new >= nrm * (1.0 - 1e-14)
+        stalled = nrm_new >= nrm * (1.0 - cfg.stall_rtol)
         return (s_new, it + 1, nrm_new, stalled)
 
     nrm0 = norm(R(s0))
@@ -421,7 +431,7 @@ def newton_solve_stepped(
         nrm_new = float(nrm_new)
         if verbose:
             print(f"  newton {it}: |R| {nrm:.3e} -> {nrm_new:.3e} ({lin_its} lin)")
-        stalled = nrm_new >= nrm * (1.0 - 1e-14)
+        stalled = nrm_new >= nrm * (1.0 - cfg.stall_rtol)
         s, nrm = s_new, nrm_new
         it += 1
         if stalled:
